@@ -86,6 +86,7 @@ from bound_mpc.BoundMPC import mpc_utils_casadi as ref_mpc_utils  # noqa: E402
 from bound_mpc.utils import lie_functions as ref_lie  # noqa: E402
 from bound_mpc.utils import util_functions as ref_util  # noqa: E402
 from bound_mpc.BoundMPC import bound_mpc_functions as ref_funcs  # noqa: E402
+from bound_mpc.BoundMPC.BoundMPC import BoundMPC as BoundMPCClass  # noqa: E402
 
 __all__ = [
     "RobotModel",
@@ -95,4 +96,5 @@ __all__ = [
     "ref_lie",
     "ref_util",
     "ref_funcs",
+    "BoundMPCClass",
 ]
