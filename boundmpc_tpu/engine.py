@@ -1,0 +1,233 @@
+"""Receding-horizon MPC engine: one jittable, batchable `tick`.
+
+Reference semantics: ``bound_mpc/bound_mpc/BoundMPC/BoundMPC.py`` (stateful
+controller: warm starts, error-bound fitting, rotation-reference integration,
+infeasible-solve fallback, post-solve state advance) together with the plant
+update of ``nodes/bound_mpc_node.py:292-372`` (plant == model: the "robot" is
+the same exact triple integrator + FK chain, util_functions.py:152-161).
+
+TPU-first re-design:
+  * The entire §3.2 tick pipeline of the reference — window gather, initial
+    rotation errors, projection vectors, quartic bound fitting, solve,
+    fallback, state advance — is ONE pure function `tick(state, ...)`, fully
+    jit-compiled and `vmap`-able over scenarios.  No host round-trips.
+  * The reference's warm-start surgery (BoundMPC.py:316-375) reduces to a
+    one-stage shift of the jerk-knot plan: with the condensed formulation the
+    state trajectory is implied by (x0, u), so the integrated-omega flip fix
+    and the post-replan re-projection of per-stage phi states disappear.
+  * The infeasible-solve fallback (BoundMPC.py:460-506) becomes a
+    `lax.select` on the per-scenario success mask: on failure the previous
+    plan (already shifted) is replayed, consuming one horizon stage per
+    failure exactly like the reference's `error_count` slicing; after N
+    consecutive failures the scenario is flagged dead.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import jerkint, kinematics, lie, ocp, solver as solver_mod
+from .bounds import segment_bound_coeffs
+from .path import PathData, Window, advance_sector, window
+
+
+class EngineState(NamedTuple):
+    """Per-scenario carried state (pytree; batch by stacking leaves)."""
+
+    # Plant state (plant == model, bound_mpc_node.py:321-331)
+    q: jnp.ndarray  # (7,)
+    dq: jnp.ndarray  # (7,)
+    ddq: jnp.ndarray  # (7,)
+    jerk: jnp.ndarray  # (7,) previous joint jerk knot (node self.jerk)
+    # Path-parameter state (BoundMPC.py:98-103)
+    phi: jnp.ndarray  # ()
+    dphi: jnp.ndarray  # ()
+    ddphi: jnp.ndarray  # ()
+    dddphi: jnp.ndarray  # ()
+    # Rotation reference integration (BoundMPC.py:81-83)
+    pr_ref: jnp.ndarray  # (3,)
+    iw_ref: jnp.ndarray  # (3,)
+    # Window position
+    sector: jnp.ndarray  # () int32
+    # Warm start / fallback
+    u_warm: jnp.ndarray  # (N, 8) shifted previous plan
+    has_prev: jnp.ndarray  # () bool
+    error_count: jnp.ndarray  # () int32
+    dead: jnp.ndarray  # () bool — N consecutive failures (BoundMPC.py:498)
+
+
+class TickOut(NamedTuple):
+    traj: ocp.Trajectory  # full-horizon solution trajectory
+    p0: jnp.ndarray  # (6,) measured EE pose at tick start
+    success: jnp.ndarray  # () bool
+    error_count: jnp.ndarray  # () int32
+    stats: solver_mod.SolveStats
+    params: ocp.OcpParams  # assembled tick parameters (for logging/replay)
+    u: jnp.ndarray  # (N, 8) executed plan
+
+
+def init_state(cfg: ocp.OcpConfig, q0: jnp.ndarray, dtype=jnp.float32) -> EngineState:
+    """Initial engine/plant state at rest (node reset, bound_mpc_node.py:72-80;
+    BoundMPC.__init__ :81-103)."""
+    q0 = jnp.asarray(q0, dtype)
+    pose0 = kinematics.fk_pose(q0)
+    z7 = jnp.zeros(7, dtype)
+    z = jnp.zeros((), dtype)
+    return EngineState(
+        q=q0, dq=z7, ddq=z7, jerk=z7,
+        phi=z, dphi=z, ddphi=z, dddphi=z,
+        pr_ref=pose0[3:], iw_ref=jnp.zeros(3, dtype),
+        sector=jnp.zeros((), jnp.int32),
+        u_warm=jnp.zeros((cfg.N, cfg.nr_joints + 1), dtype),
+        has_prev=jnp.asarray(False),
+        error_count=jnp.zeros((), jnp.int32),
+        dead=jnp.asarray(False),
+    )
+
+
+def _shift_plan(u: jnp.ndarray) -> jnp.ndarray:
+    """Receding-horizon shift (BoundMPC.py:373-375): drop stage 0, repeat the
+    terminal knot."""
+    return jnp.concatenate([u[1:], u[-1:]], axis=0)
+
+
+def assemble_params(cfg: ocp.OcpConfig, state: EngineState, path: PathData,
+                    weights: jnp.ndarray, x_phi_d: jnp.ndarray) -> ocp.OcpParams:
+    """Pre-solve parameter assembly — the jit analog of BoundMPC.step's
+    host-side prep (:306-443)."""
+    win: Window = window(path, state.sector, cfg.nr_segs)
+    dtype = state.q.dtype
+
+    # Measured EE pose / twist (node step, bound_mpc_node.py:301)
+    pose = kinematics.fk_pose(state.q)
+    J = kinematics.jacobian(state.q)
+    v0 = J @ state.dq
+    p0 = pose
+
+    # Initial rotation errors per window segment (BoundMPC.py:379-385)
+    dtau_all = jax.vmap(
+        lambda dr, b1, b2: ocp.compute_initial_rot_errors(
+            pose[3:], state.pr_ref, dr, b1, b2
+        )
+    )(win.dp_ref[:, 3:], win.br1, win.br2)
+    dtau_init = dtau_all[0][0]  # segment 0's full error (reference :418)
+    dtau_init_par, dtau_init_orth1, dtau_init_orth2 = (
+        dtau_all[1], dtau_all[2], dtau_all[3],
+    )
+
+    # Orientation projection vectors (BoundMPC.py:388)
+    v1, v2, v3, jac_l, jac_r = ocp.projection_vectors(
+        dtau_init, dtau_init_par, dtau_init_orth1, win.br1, win.br2,
+        win.dp_normed,
+    )
+
+    # Quartic bound coefficients over the window (BoundMPC.py:392-395)
+    seg_len = win.phi_switch[1:] - win.phi_switch[:-1]
+    acoef = segment_bound_coeffs(
+        seg_len, win.asymm_lower, win.asymm_upper,
+        path.s, path.e_p_min, path.e_r_min, path.e_p_max, path.e_r_max,
+    )
+    acoef = jnp.concatenate([acoef, acoef[-1:]], axis=0)
+
+    # Weight adjustment (BoundMPC.py:398-403) and numerical clamps (:405-413)
+    phi_max_global = path.phi_max - 1e-4
+    scaling = jnp.minimum(1.0 / jnp.maximum(phi_max_global, 1e-6) ** 2, 2.0)
+    w6 = jnp.where(x_phi_d[0] < 1.0, weights[6] * scaling, weights[6])
+    weights_t = weights.at[6].set(w6)
+    phi_max_t = jnp.minimum(state.phi + 5.0, phi_max_global)
+    x_phi_d_t = x_phi_d.at[0].set(jnp.minimum(state.phi + 5.0, x_phi_d[0]))
+    qd = jnp.where(phi_max_t - state.phi < 0.05, state.q, jnp.zeros(7, dtype))
+
+    return ocp.OcpParams(
+        q0=state.q, dq0=state.dq, ddq0=state.ddq,
+        phi0=state.phi, dphi0=state.dphi, ddphi0=state.ddphi,
+        p0=p0, v0=v0,
+        u_prev=state.jerk, uphi_prev=state.dddphi,
+        iw_ref0=state.iw_ref,
+        dtau_init=dtau_init,
+        dtau_init_par=dtau_init_par,
+        dtau_init_orth1=dtau_init_orth1,
+        dtau_init_orth2=dtau_init_orth2,
+        jac_dtau_l=jac_l, jac_dtau_r=jac_r,
+        p_ref=win.p_ref, dp_ref=win.dp_ref, dp_normed=win.dp_normed,
+        bp1=win.bp1, bp2=win.bp2, br1=win.br1, br2=win.br2,
+        v1=v1, v2=v2, v3=v3,
+        phi_switch=win.phi_switch,
+        acoef=acoef,
+        weights=weights_t,
+        phi_max=phi_max_t,
+        dphi_max=weights[4],  # BoundMPC.py:79 — weight slot 4 is dphi_max
+        x_phi_d=x_phi_d_t,
+        qd=qd,
+    )
+
+
+def tick(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
+         coeffs: jerkint.JerkCoeffs, limits: kinematics.RobotLimits,
+         state: EngineState, path: PathData, weights: jnp.ndarray,
+         x_phi_d: jnp.ndarray):
+    """One full control tick.  Returns (new_state, TickOut)."""
+    # Window slide on segment crossing (ReferencePath.update :190-212,
+    # called from get_parameters at the start of BoundMPC.step :310)
+    sector = advance_sector(path, state.sector, state.phi)
+    state = state._replace(sector=sector)
+
+    params = assemble_params(cfg, state, path, weights, x_phi_d)
+
+    u_opt, stats = solver_mod.solve(cfg, scfg, coeffs, params, state.u_warm, limits)
+
+    # Reference success criterion (BoundMPC.py:460-465): solver converged OR
+    # total constraint violation below 1e-4.
+    success = stats.converged | (stats.viol < 1e-4)
+
+    # Fallback logic (BoundMPC.py:467-496): on failure replay the previous
+    # (already shifted) plan; with no previous plan accept the infeasible
+    # solution ("first-ever failure" branch).
+    use_opt = success | (~state.has_prev)
+    u_used = jnp.where(use_opt, u_opt, state.u_warm)
+    error_count = jnp.where(success, 0, state.error_count + 1)
+    error_count = jnp.where(success | state.has_prev, error_count, 0)
+    dead = state.dead | (error_count >= cfg.N)
+
+    # The executed trajectory is exact by construction — no post-solve
+    # re-integration needed (reference must re-integrate, BoundMPC.py:526-555).
+    traj = ocp.rollout(cfg, coeffs, params, u_used)
+
+    # Rotation-reference advance across a possible segment switch
+    # (BoundMPC.py:592-604)
+    phi1 = traj.phi[0]
+    win_switch1 = params.phi_switch[1]
+    crossed = phi1 > win_switch1
+    pr_new_anchor = path.via_rotvec[sector + 1]
+    pr_crossed = lie.integrate_rotation_reference(
+        pr_new_anchor, params.dp_ref[1, 3:], win_switch1, phi1
+    )
+    pr_stay = lie.integrate_rotation_reference(
+        state.pr_ref, params.dp_ref[0, 3:], state.phi, phi1
+    )
+    pr_ref_new = jnp.where(crossed, pr_crossed, pr_stay)
+    iw_crossed = params.p_ref[1, 3:] + (phi1 - win_switch1) * params.dp_ref[1, 3:]
+    iw_stay = params.p_ref[0, 3:] + (phi1 - params.phi_switch[0]) * params.dp_ref[0, 3:]
+    iw_ref_new = jnp.where(crossed, iw_crossed, iw_stay)
+
+    # Plant + controller state advance: stage-1 states of the executed plan
+    # (bound_mpc_node.py:321-336, BoundMPC.py:606-611)
+    new_state = EngineState(
+        q=traj.q[0], dq=traj.dq[0], ddq=traj.ddq[0],
+        jerk=u_used[0, : cfg.nr_joints],
+        phi=traj.phi[0], dphi=traj.dphi[0], ddphi=traj.ddphi[0],
+        dddphi=u_used[0, cfg.nr_joints],
+        pr_ref=pr_ref_new, iw_ref=iw_ref_new,
+        sector=sector,
+        u_warm=_shift_plan(u_used),
+        has_prev=jnp.asarray(True),
+        error_count=error_count,
+        dead=dead,
+    )
+    out = TickOut(
+        traj=traj, p0=params.p0, success=success, error_count=error_count,
+        stats=stats, params=params, u=u_used,
+    )
+    return new_state, out

@@ -456,3 +456,42 @@ def objective_and_constraints(cfg: OcpConfig, coeffs: jerkint.JerkCoeffs,
     """One-rollout evaluation of (f, c) — the solver's model function."""
     ev = evaluate_stages(cfg, coeffs, params, u)
     return objective(cfg, params, ev, u), full_constraints(cfg, params, ev, u, limits)
+
+
+def residuals(cfg: OcpConfig, params: OcpParams, ev: StageEval,
+              u: jnp.ndarray) -> jnp.ndarray:
+    """Weighted least-squares residual vector r with objective == sum(r^2)
+    exactly (weights folded under sqrt) — the Gauss-Newton view of
+    ``objective``.  Shape (N * 50,)."""
+    sw = jnp.sqrt(params.weights)
+    traj, ref, err = ev.traj, ev.ref, ev.err
+
+    sigm = 1.0 / (1.0 + jnp.exp(-100.0 * (traj.phi - (params.phi_max - 0.02))))
+    e_p_obj = sigm[:, None] * err.e_p + (1.0 - sigm)[:, None] * err.e_p_par
+    e_r_obj = sigm[:, None] * err.e_r + (1.0 - sigm)[:, None] * err.e_r_par
+    v_ref = traj.dphi[:, None] * ref.dp_d
+    a_ref = traj.ddphi[:, None] * ref.dp_d
+
+    blocks = [
+        sw[0] * e_p_obj,  # (N, 3)
+        sw[1] * e_r_obj,  # (N, 3)
+        sw[2] * (traj.v - v_ref),  # (N, 6)
+        sw[5] * (traj.a - a_ref),  # (N, 6)
+        sw[10] * (traj.q - params.qd[None, :]),  # (N, 7)
+        sw[11] * traj.dq,  # (N, 7)
+        sw[12] * traj.ddq,  # (N, 7)
+        sw[13] * u[:, : cfg.nr_joints],  # (N, 7)
+        sw[6] * (params.x_phi_d[0] - traj.phi)[:, None],
+        sw[7] * (params.x_phi_d[1] - traj.dphi)[:, None],
+        sw[8] * (params.x_phi_d[2] - traj.ddphi)[:, None],
+        sw[9] * u[:, cfg.nr_joints:],
+    ]
+    return jnp.concatenate(blocks, axis=-1).ravel()
+
+
+def residuals_and_constraints(cfg: OcpConfig, coeffs: jerkint.JerkCoeffs,
+                              params: OcpParams, u: jnp.ndarray,
+                              limits: kinematics.RobotLimits):
+    """(r, c) in one rollout — what the GN solver differentiates."""
+    ev = evaluate_stages(cfg, coeffs, params, u)
+    return residuals(cfg, params, ev, u), full_constraints(cfg, params, ev, u, limits)

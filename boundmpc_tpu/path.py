@@ -195,12 +195,15 @@ def build_path(
 
     via_rotvec = np.stack([R.from_matrix(m).as_rotvec() for m in r])  # (S+1, 3)
 
-    def pad_seg(a, fill_last=True):
+    def pad_to(a, rows):
         a = np.asarray(a, dtype=dtype)
-        if a.shape[0] == capacity:
-            return a
-        reps = np.repeat(a[-1:], capacity - a.shape[0], axis=0)
+        if a.shape[0] >= rows:
+            return a[:rows]
+        reps = np.repeat(a[-1:], rows - a.shape[0], axis=0)
         return np.concatenate([a, reps], axis=0)
+
+    def pad_seg(a):
+        return pad_to(a, capacity)
 
     seg_dr = np.stack(dr)
     dr_norm = np.linalg.norm(seg_dr, axis=-1, keepdims=True)
@@ -230,7 +233,7 @@ def build_path(
         br2=jnp.asarray(pad_seg(np.stack(br2_l))),
         asymm_lower=jnp.asarray(pad_seg(asymm_lower)),
         asymm_upper=jnp.asarray(pad_seg(asymm_upper)),
-        via_rotvec=jnp.asarray(pad_seg(via_rotvec)[: capacity + 1]),
+        via_rotvec=jnp.asarray(pad_to(via_rotvec, capacity + 1)),
         phi_max=jnp.asarray(phi_max, dtype=dtype),
         n_real=jnp.asarray(n_real, dtype=jnp.int32),
         s=jnp.asarray(s, dtype=dtype),

@@ -1,0 +1,120 @@
+"""Closed-loop MPC runner: the in-process analog of the reference's 10 Hz
+node loop (`nodes/bound_mpc_node.py:375-401`) plus the experiment runner's
+wait-until-done logic (`experiment1_runner.py:100-112`).
+
+The plant is the model itself (kinematic integrator + FK), exactly like the
+reference's simulated robot (util_functions.py:152-161) — the engine's
+stage-1 states ARE the next plant state, so the runner only sequences jitted
+ticks and accumulates telemetry.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import engine, jerkint, kinematics, ocp, solver as solver_mod
+from .scenarios import Scenario
+
+
+@dataclass
+class RunLog:
+    """Per-tick telemetry series (the Logger analog, Logger/Logger.py)."""
+
+    t: List[float] = field(default_factory=list)
+    phi: List[float] = field(default_factory=list)
+    dphi: List[float] = field(default_factory=list)
+    q: List[np.ndarray] = field(default_factory=list)
+    dq: List[np.ndarray] = field(default_factory=list)
+    ddq: List[np.ndarray] = field(default_factory=list)
+    jerk: List[np.ndarray] = field(default_factory=list)
+    p: List[np.ndarray] = field(default_factory=list)  # measured EE pose
+    success: List[bool] = field(default_factory=list)
+    fails: List[int] = field(default_factory=list)
+    iters: List[int] = field(default_factory=list)
+    viol: List[float] = field(default_factory=list)
+    obj: List[float] = field(default_factory=list)
+    t_comp: List[float] = field(default_factory=list)
+    horizon_q: List[np.ndarray] = field(default_factory=list)  # (N, 7)
+    horizon_phi: List[np.ndarray] = field(default_factory=list)  # (N,)
+    horizon_p: List[np.ndarray] = field(default_factory=list)  # (N, 6)
+
+    def arrays(self) -> Dict[str, np.ndarray]:
+        return {k: np.asarray(v) for k, v in self.__dict__.items()}
+
+
+class ClosedLoopRunner:
+    """Single-scenario closed loop (float64-capable for parity testing)."""
+
+    def __init__(self, scenario: Scenario,
+                 solver_cfg: solver_mod.SolverConfig | None = None,
+                 dtype=jnp.float64, capacity: int | None = None):
+        self.scenario = scenario
+        self.cfg = ocp.OcpConfig(N=scenario.N, nr_segs=scenario.nr_segs,
+                                 dt=scenario.dt)
+        self.scfg = solver_cfg or solver_mod.SolverConfig()
+        self.dtype = dtype
+        np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+        self.path = scenario.build(capacity=capacity, dtype=np_dtype)
+        self.coeffs = jerkint.coeff_matrices(self.cfg.N, self.cfg.dt, dtype=dtype)
+        self.limits = kinematics.robot_limits()
+        if dtype != jnp.float64:
+            cast = lambda t: jax.tree.map(lambda a: jnp.asarray(a, dtype)
+                                          if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, t)
+            self.path = cast(self.path)
+            self.limits = cast(self.limits)
+        self.weights = jnp.asarray(scenario.weights, dtype)
+        self.state = engine.init_state(self.cfg, jnp.asarray(scenario.q0, dtype),
+                                       dtype=dtype)
+        self.phi_max = float(self.path.phi_max) - 1e-4
+        self.x_phi_d = jnp.asarray([self.phi_max, 0.0, 0.0], dtype)
+
+        self._tick = jax.jit(
+            partial(engine.tick, self.cfg, self.scfg, self.coeffs, self.limits)
+        )
+
+    def run(self, max_ticks: int = 400, stop_tol: float = 0.01,
+            verbose: bool = False) -> RunLog:
+        """Run until phi reaches phi_max (runner wait-loop semantics,
+        experiment1_runner.py:104-112) or the engine dies."""
+        log = RunLog()
+        state = self.state
+        for k in range(max_ticks):
+            t0 = time.perf_counter()
+            state, out = self._tick(state, self.path, self.weights, self.x_phi_d)
+            jax.block_until_ready(state.phi)
+            t_comp = time.perf_counter() - t0
+
+            log.t.append(k * self.cfg.dt)
+            log.phi.append(float(state.phi))
+            log.dphi.append(float(state.dphi))
+            log.q.append(np.asarray(state.q))
+            log.dq.append(np.asarray(state.dq))
+            log.ddq.append(np.asarray(state.ddq))
+            log.jerk.append(np.asarray(state.jerk))
+            log.p.append(np.asarray(out.p0))
+            log.success.append(bool(out.success))
+            log.fails.append(int(out.error_count))
+            log.iters.append(int(out.stats.iters))
+            log.viol.append(float(out.stats.viol))
+            log.obj.append(float(out.stats.obj))
+            log.t_comp.append(t_comp)
+            log.horizon_q.append(np.asarray(out.traj.q))
+            log.horizon_phi.append(np.asarray(out.traj.phi))
+            log.horizon_p.append(np.asarray(out.traj.p))
+
+            if verbose:
+                print(f"tick {k:3d} phi {log.phi[-1]:.3f}/{self.phi_max:.3f} "
+                      f"iters {log.iters[-1]:2d} viol {log.viol[-1]:.2e} "
+                      f"t {t_comp*1e3:.1f}ms success {log.success[-1]}")
+            if bool(state.dead):
+                break
+            if self.phi_max - log.phi[-1] < stop_tol:
+                break
+        self.state = state
+        return log

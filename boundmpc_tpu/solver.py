@@ -1,0 +1,160 @@
+"""Batched relaxed-barrier Gauss-Newton solver for the condensed OCP.
+
+TPU-native replacement for the reference's Ipopt/CasADi stack
+(`BoundMPC.py:120-161`, `casadi_ocp_formulation.py:389`): instead of a
+sparse 440-var interior-point solve on the host, each scenario is a dense
+80-var Gauss-Newton iteration with a relaxed logarithmic barrier for the
+~520 inequalities.  Everything — Jacobians (one `jacfwd` sweep), the dense
+KKT solve (Cholesky-factorable 80x80), and a *parallel* Armijo line search
+that evaluates all step candidates at once — is jit-compiled XLA; scenarios
+batch with `vmap` so the KKT factorizations become batched MXU work.
+
+The relaxed barrier (quadratic extension below ``delta``) is smooth on all
+of R, so warm-started iterates may pass through infeasible points without
+NaNs — the batched analog of Ipopt's filter line search tolerance to
+infeasible intermediate iterates.  As mu -> 0 its minimizers approach the
+NLP's KKT points; the engine declares success using the reference's own
+criterion (total constraint violation < 1e-4, `BoundMPC.py:460-465`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import jerkint, kinematics, ocp
+
+
+class SolverConfig(NamedTuple):
+    """Static solver settings."""
+
+    max_iters: int = 40
+    mu_init: float = 1e-2
+    mu_min: float = 1e-6
+    mu_decay: float = 0.4
+    delta: float = 1e-7  # barrier relaxation threshold
+    reg: float = 1e-7  # Levenberg regularization of the GN Hessian
+    n_ls: int = 14  # line-search candidates alpha = 0.7^k
+    ls_decay: float = 0.7
+    armijo: float = 1e-4
+    tol_step: float = 1e-8  # convergence: max |du|
+
+
+class SolveStats(NamedTuple):
+    iters: jnp.ndarray  # () int32
+    converged: jnp.ndarray  # () bool
+    obj: jnp.ndarray  # () objective at solution
+    viol: jnp.ndarray  # () total constraint violation (reference metric)
+
+
+class _LoopState(NamedTuple):
+    u: jnp.ndarray  # (n,) flat decision vector
+    mu: jnp.ndarray  # () barrier weight
+    k: jnp.ndarray  # () iteration counter
+    done: jnp.ndarray  # () bool
+    last_step: jnp.ndarray  # () max |du| of last accepted step
+
+
+def _barrier(z, delta):
+    """Relaxed log barrier beta(z), z = -c (feasible when z > 0)."""
+    quad = 0.5 * (((z - 2.0 * delta) / delta) ** 2 - 1.0) - jnp.log(delta)
+    safe_z = jnp.maximum(z, delta)
+    return jnp.where(z > delta, -jnp.log(safe_z), quad)
+
+
+def _barrier_d1(z, delta):
+    safe_z = jnp.maximum(z, delta)
+    return jnp.where(z > delta, -1.0 / safe_z, (z - 2.0 * delta) / delta**2)
+
+
+def _barrier_d2(z, delta):
+    safe_z = jnp.maximum(z, delta)
+    return jnp.where(z > delta, 1.0 / safe_z**2, 1.0 / delta**2)
+
+
+def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
+          params: ocp.OcpParams, u0: jnp.ndarray,
+          limits: kinematics.RobotLimits):
+    """Minimize the condensed OCP from warm start ``u0`` (N, 8).
+
+    Returns (u_opt (N, 8), SolveStats).  Pure function of its inputs —
+    `vmap` over (params, u0) for scenario batching, `jit` at the caller.
+    """
+    N, nu = cfg.N, cfg.nr_joints + 1
+    n = N * nu
+    dtype = u0.dtype
+
+    def rc(u_flat):
+        return ocp.residuals_and_constraints(
+            cfg, coeffs, params, u_flat.reshape(N, nu), limits
+        )
+
+    def merit(u_flat, mu):
+        r, c = rc(u_flat)
+        return jnp.sum(r * r) + mu * jnp.sum(_barrier(-c, scfg.delta))
+
+    ls_alphas = scfg.ls_decay ** jnp.arange(scfg.n_ls, dtype=dtype)
+
+    # --- one GN iteration -------------------------------------------------
+    def step(st: _LoopState) -> _LoopState:
+        u, mu = st.u, st.mu
+        r, c = rc(u)
+        # One forward-mode sweep for both Jacobians: n tangents.
+        Jr, Jc = jax.vmap(lambda t: jax.jvp(rc, (u,), (t,))[1],
+                          out_axes=(1, 1))(jnp.eye(n, dtype=dtype))
+
+        z = -c
+        g = 2.0 * (Jr.T @ r) - mu * (Jc.T @ _barrier_d1(z, scfg.delta))
+        w = mu * _barrier_d2(z, scfg.delta)
+        H = 2.0 * (Jr.T @ Jr) + (Jc.T * w[None, :]) @ Jc
+        H = H + scfg.reg * jnp.eye(n, dtype=dtype)
+
+        # Solve the dense KKT system (Cholesky: H is SPD by construction).
+        L = jnp.linalg.cholesky(H)
+        du = -jax.scipy.linalg.cho_solve((L, True), g)
+
+        # Parallel backtracking Armijo line search: evaluate every candidate
+        # at once instead of a sequential loop.
+        m0 = jnp.sum(r * r) + mu * jnp.sum(_barrier(z, scfg.delta))
+        slope = jnp.dot(g, du)
+        cand_m = jax.vmap(lambda a: merit(u + a * du, mu))(ls_alphas)
+        ok = cand_m <= m0 + scfg.armijo * ls_alphas * slope
+        ok = ok & jnp.isfinite(cand_m)
+        # First (largest-alpha) acceptable candidate; fall back to the best
+        # finite merit if Armijo fails everywhere.
+        first_ok = jnp.argmax(ok)
+        any_ok = jnp.any(ok)
+        best = jnp.argmin(jnp.where(jnp.isfinite(cand_m), cand_m, jnp.inf))
+        idx = jnp.where(any_ok, first_ok, best)
+        alpha = ls_alphas[idx]
+        improved = any_ok | (cand_m[best] < m0)
+        alpha = jnp.where(improved, alpha, 0.0)
+
+        u_new = u + alpha * du
+        step_inf = jnp.max(jnp.abs(alpha * du))
+        mu_new = jnp.maximum(mu * scfg.mu_decay, scfg.mu_min)
+        at_final_mu = mu <= scfg.mu_min * 1.0001
+        done = at_final_mu & (step_inf < scfg.tol_step)
+        return _LoopState(u_new, mu_new, st.k + 1, done, step_inf)
+
+    def cond(st: _LoopState):
+        return (~st.done) & (st.k < scfg.max_iters)
+
+    init = _LoopState(
+        u=u0.reshape(-1).astype(dtype),
+        mu=jnp.asarray(scfg.mu_init, dtype),
+        k=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        last_step=jnp.asarray(jnp.inf, dtype),
+    )
+    out = jax.lax.while_loop(cond, step, init)
+
+    u_opt = out.u.reshape(N, nu)
+    ev = ocp.evaluate_stages(cfg, coeffs, params, u_opt)
+    obj = ocp.objective(cfg, params, ev, u_opt)
+    cfin = ocp.full_constraints(cfg, params, ev, u_opt, limits)
+    # Reference success metric: sum of violations beyond 1e-6 slack
+    # (BoundMPC.py:460-465; all our constraints are c <= 0 one-sided).
+    viol = jnp.sum(jnp.where(cfin > 1e-6, cfin, 0.0))
+    return u_opt, SolveStats(iters=out.k, converged=out.done, obj=obj, viol=viol)
