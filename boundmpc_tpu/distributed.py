@@ -1,0 +1,100 @@
+"""Multi-chip / multi-host scaling over the scenario mesh.
+
+The reference's "distributed backend" is ROS2/DDS pub-sub on one machine
+(SURVEY.md §5.8) — no multi-node capability.  Here scaling is a 1-D device
+mesh over the scenario axis: per-scenario solves are independent, so the
+batch shards embarrassingly with `shard_map`; ICI collectives only carry
+metric reductions (solves/s counters, convergence stats), exactly the
+pattern BASELINE.json prescribes.  Multi-host initialization uses
+`jax.distributed.initialize` (call `init_multihost()` once per host before
+building the mesh).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import engine, jerkint, kinematics, ocp, solver as solver_mod
+
+
+def init_multihost(coordinator: str | None = None, num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Initialize the JAX distributed runtime (no-op on a single host)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def scenario_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (local or global) devices; axis name 'scenario'."""
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+    return Mesh(np.asarray(devices), axis_names=("scenario",))
+
+
+class ShardedEngine:
+    """Batched MPC engine sharded over a scenario mesh.
+
+    The per-tick program is `shard_map(vmap(tick))`: each device runs its
+    shard of scenarios; a `psum` reduces fleet metrics over ICI.  States are
+    device-resident across ticks (donated buffers).
+    """
+
+    def __init__(self, cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
+                 mesh: Mesh, dtype=jnp.float32):
+        self.cfg, self.scfg, self.mesh, self.dtype = cfg, scfg, mesh, dtype
+        coeffs = jerkint.coeff_matrices(cfg.N, cfg.dt, dtype=dtype)
+        limits = kinematics.robot_limits()
+
+        tick1 = partial(engine.tick, cfg, scfg, coeffs, limits)
+
+        def shard_tick(states, paths, weights, x_phi_d):
+            new_states, outs = jax.vmap(tick1)(states, paths, weights, x_phi_d)
+            # Fleet metrics reduced over ICI (per-shard partial sums).
+            metrics = {
+                "n_success": jax.lax.psum(
+                    jnp.sum(outs.success.astype(jnp.int32)), "scenario"
+                ),
+                "n_dead": jax.lax.psum(
+                    jnp.sum(new_states.dead.astype(jnp.int32)), "scenario"
+                ),
+                "total_iters": jax.lax.psum(jnp.sum(outs.stats.iters), "scenario"),
+                "max_viol": jax.lax.pmax(jnp.max(outs.stats.viol), "scenario"),
+                "mean_phi": jax.lax.pmean(jnp.mean(new_states.phi), "scenario"),
+            }
+            return new_states, outs, metrics
+
+        sharded = jax.shard_map(
+            shard_tick,
+            mesh=mesh,
+            in_specs=(P("scenario"), P("scenario"), P("scenario"), P("scenario")),
+            out_specs=(P("scenario"), P("scenario"), {k: P() for k in
+                       ("n_success", "n_dead", "total_iters", "max_viol", "mean_phi")}),
+            # Replicated scan carries (e.g. the FK chain's identity init) are
+            # promoted to varying inside the body; skip the strict VMA check.
+            check_vma=False,
+        )
+        self._tick = jax.jit(sharded, donate_argnums=(0,))
+
+    def sharding(self, batched_pytree):
+        """NamedSharding placement for a batched pytree (leading scenario axis)."""
+        sh = NamedSharding(self.mesh, P("scenario"))
+        return jax.device_put(batched_pytree, sh)
+
+    def tick(self, states, paths, weights, x_phi_d):
+        return self._tick(states, paths, weights, x_phi_d)
+
+
+def make_train_step_like(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
+                         mesh: Mesh, dtype=jnp.float32):
+    """The full sharded step as a raw jittable callable (used by
+    __graft_entry__.dryrun_multichip)."""
+    eng = ShardedEngine(cfg, scfg, mesh, dtype=dtype)
+    return eng

@@ -75,12 +75,16 @@ def init_state(cfg: ocp.OcpConfig, q0: jnp.ndarray, dtype=jnp.float32) -> Engine
     pose0 = kinematics.fk_pose(q0)
     z7 = jnp.zeros(7, dtype)
     z = jnp.zeros((), dtype)
+    # Ipopt pushes iterates strictly inside bounds (bound_push); the barrier
+    # solver needs the same: a small positive phi-jerk warm start keeps the
+    # phi >= 0 constraints out of the quadratic-extension region at tick 0.
+    u_warm0 = jnp.zeros((cfg.N, cfg.nr_joints + 1), dtype).at[:, -1].set(0.5)
     return EngineState(
         q=q0, dq=z7, ddq=z7, jerk=z7,
         phi=z, dphi=z, ddphi=z, dddphi=z,
         pr_ref=pose0[3:], iw_ref=jnp.zeros(3, dtype),
         sector=jnp.zeros((), jnp.int32),
-        u_warm=jnp.zeros((cfg.N, cfg.nr_joints + 1), dtype),
+        u_warm=u_warm0,
         has_prev=jnp.asarray(False),
         error_count=jnp.zeros((), jnp.int32),
         dead=jnp.asarray(False),
@@ -167,8 +171,13 @@ def assemble_params(cfg: ocp.OcpConfig, state: EngineState, path: PathData,
 def tick(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
          coeffs: jerkint.JerkCoeffs, limits: kinematics.RobotLimits,
          state: EngineState, path: PathData, weights: jnp.ndarray,
-         x_phi_d: jnp.ndarray):
-    """One full control tick.  Returns (new_state, TickOut)."""
+         x_phi_d: jnp.ndarray, solve_fn=None):
+    """One full control tick.  Returns (new_state, TickOut).
+
+    ``solve_fn(params, u_warm) -> (u_opt, SolveStats)`` overrides the
+    built-in solver (used by the parity oracle harness, which plugs a
+    host-side scipy solve into the otherwise identical tick pipeline).
+    """
     # Window slide on segment crossing (ReferencePath.update :190-212,
     # called from get_parameters at the start of BoundMPC.step :310)
     sector = advance_sector(path, state.sector, state.phi)
@@ -176,7 +185,10 @@ def tick(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
 
     params = assemble_params(cfg, state, path, weights, x_phi_d)
 
-    u_opt, stats = solver_mod.solve(cfg, scfg, coeffs, params, state.u_warm, limits)
+    if solve_fn is None:
+        u_opt, stats = solver_mod.solve(cfg, scfg, coeffs, params, state.u_warm, limits)
+    else:
+        u_opt, stats = solve_fn(params, state.u_warm)
 
     # Reference success criterion (BoundMPC.py:460-465): solver converged OR
     # total constraint violation below 1e-4.

@@ -374,7 +374,9 @@ def objective(cfg: OcpConfig, params: OcpParams, ev: StageEval,
     w = params.weights
     traj, ref, err = ev.traj, ev.ref, ev.err
 
-    sigm = 1.0 / (1.0 + jnp.exp(-100.0 * (traj.phi - (params.phi_max - 0.02))))
+    # jax.nn.sigmoid == the reference sigmoid (casadi_ocp_formulation.py:242)
+    # but overflow-safe in float32 (exp(690) = inf would NaN the JVP).
+    sigm = jax.nn.sigmoid(100.0 * (traj.phi - (params.phi_max - 0.02)))
     e_p_obj = sigm[:, None] * err.e_p + (1.0 - sigm)[:, None] * err.e_p_par
     e_r_obj = sigm[:, None] * err.e_r + (1.0 - sigm)[:, None] * err.e_r_par
 
@@ -466,7 +468,9 @@ def residuals(cfg: OcpConfig, params: OcpParams, ev: StageEval,
     sw = jnp.sqrt(params.weights)
     traj, ref, err = ev.traj, ev.ref, ev.err
 
-    sigm = 1.0 / (1.0 + jnp.exp(-100.0 * (traj.phi - (params.phi_max - 0.02))))
+    # jax.nn.sigmoid == the reference sigmoid (casadi_ocp_formulation.py:242)
+    # but overflow-safe in float32 (exp(690) = inf would NaN the JVP).
+    sigm = jax.nn.sigmoid(100.0 * (traj.phi - (params.phi_max - 0.02)))
     e_p_obj = sigm[:, None] * err.e_p + (1.0 - sigm)[:, None] * err.e_p_par
     e_r_obj = sigm[:, None] * err.e_r + (1.0 - sigm)[:, None] * err.e_r_par
     v_ref = traj.dphi[:, None] * ref.dp_d

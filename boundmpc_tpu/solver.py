@@ -41,6 +41,12 @@ class SolverConfig(NamedTuple):
     tol_step: float = 1e-8  # convergence: max |du|
 
 
+# Preset for the float32 TPU runtime path: QR keeps the barrier system
+# solvable at delta=1e-7 (viol ~ 4e-6 in closed loop); the iteration cap
+# bounds p99 latency for warm-started receding-horizon ticks.
+RUNTIME_F32 = SolverConfig(max_iters=16, delta=1e-7, reg=1e-6, tol_step=1e-5)
+
+
 class SolveStats(NamedTuple):
     iters: jnp.ndarray  # () int32
     converged: jnp.ndarray  # () bool
@@ -106,13 +112,32 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
 
         z = -c
         g = 2.0 * (Jr.T @ r) - mu * (Jc.T @ _barrier_d1(z, scfg.delta))
-        w = mu * _barrier_d2(z, scfg.delta)
-        H = 2.0 * (Jr.T @ Jr) + (Jc.T * w[None, :]) @ Jc
-        H = H + scfg.reg * jnp.eye(n, dtype=dtype)
 
-        # Solve the dense KKT system (Cholesky: H is SPD by construction).
-        L = jnp.linalg.cholesky(H)
-        du = -jax.scipy.linalg.cho_solve((L, True), g)
+        # Newton/GN step as a WEIGHTED LEAST SQUARES solve via QR.  The
+        # barrier curvature mu * beta''(z) reaches 1/delta^2-scale weights, so
+        # the normal-equation Hessian has condition ~1e10 — beyond float32
+        # Cholesky.  QR on the stacked system sees only sqrt of that
+        # condition number, which is what makes the solver TPU-native
+        # (float32) without emulated double precision:
+        #     A = [sqrt(2) Jr; sqrt(W) Jc; sqrt(reg) I],
+        #     b = [sqrt(2) r; rho; 0],   rho = mu beta' / sqrt(W)
+        # => A^T A du = -A^T b  ==  H du = -g.
+        w = mu * _barrier_d2(z, scfg.delta)
+        sqw = jnp.sqrt(w)
+        rho = mu * _barrier_d1(z, scfg.delta) / jnp.maximum(sqw, 1e-30)
+        sq2 = jnp.sqrt(jnp.asarray(2.0, dtype))
+        A = jnp.concatenate(
+            [sq2 * Jr, sqw[:, None] * Jc,
+             jnp.sqrt(scfg.reg) * jnp.eye(n, dtype=dtype)], axis=0
+        )
+        b = jnp.concatenate(
+            [sq2 * r, -rho, jnp.zeros(n, dtype)], axis=0
+        )
+        Q, R = jnp.linalg.qr(A)
+        du = -jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
+        # Safety net: degenerate factorization -> scaled gradient step.
+        du_ok = jnp.all(jnp.isfinite(du))
+        du = jnp.where(du_ok, du, -g / (jnp.linalg.norm(g) + 1.0))
 
         # Parallel backtracking Armijo line search: evaluate every candidate
         # at once instead of a sequential loop.
@@ -131,8 +156,8 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         improved = any_ok | (cand_m[best] < m0)
         alpha = jnp.where(improved, alpha, 0.0)
 
-        u_new = u + alpha * du
-        step_inf = jnp.max(jnp.abs(alpha * du))
+        u_new = jnp.where(improved, u + alpha * du, u)
+        step_inf = jnp.where(improved, jnp.max(jnp.abs(alpha * du)), 0.0)
         mu_new = jnp.maximum(mu * scfg.mu_decay, scfg.mu_min)
         at_final_mu = mu <= scfg.mu_min * 1.0001
         done = at_final_mu & (step_inf < scfg.tol_step)

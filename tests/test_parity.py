@@ -1,0 +1,59 @@
+"""Closed-loop parity: TPU GN solver vs the independent SLSQP oracle.
+
+The BASELINE criterion is control-sequence parity on experiment1 at the
+reference horizon (SURVEY.md §6).  The condensed NLP is nearly degenerate in
+late-horizon jerks (flat directions), so per-solve parity is asserted on the
+objective value and closed-loop parity on the executed joint trajectory.
+"""
+import numpy as np
+import pytest
+
+from boundmpc_tpu import engine, solver as solver_mod
+from boundmpc_tpu.parity.oracle import OracleSolver, oracle_runner
+from boundmpc_tpu.runtime import ClosedLoopRunner, experiment1
+
+TICKS = 10
+
+
+@pytest.fixture(scope="module")
+def loops():
+    sc = experiment1()
+    gn = ClosedLoopRunner(sc)
+    log_gn = gn.run(max_ticks=TICKS)
+    orc = oracle_runner(sc)
+    log_or = orc.run(max_ticks=TICKS)
+    return gn, log_gn, log_or
+
+
+def test_single_solve_objective_parity(loops):
+    gn, log_gn, _ = loops
+    r = ClosedLoopRunner(experiment1())
+    params = engine.assemble_params(r.cfg, r.state, r.path, r.weights, r.x_phi_d)
+    u_gn, s_gn = solver_mod.solve(r.cfg, r.scfg, r.coeffs, params,
+                                  r.state.u_warm, r.limits)
+    oracle = OracleSolver(r.cfg, r.coeffs, r.limits)
+    u_or, s_or = oracle(params, r.state.u_warm)
+    assert bool(s_or.converged)
+    rel = abs(float(s_gn.obj) - float(s_or.obj)) / abs(float(s_or.obj))
+    assert rel < 1e-3, f"objective gap {rel:.2e}"
+    assert float(s_gn.viol) < 1e-4
+
+
+def test_closed_loop_joint_parity(loops):
+    _, log_gn, log_or = loops
+    q_gn, q_or = np.asarray(log_gn.q), np.asarray(log_or.q)
+    assert np.abs(q_gn - q_or).max() < 0.05, "joint trajectories diverged"
+    assert abs(log_gn.phi[-1] - log_or.phi[-1]) < 0.02
+
+
+def test_closed_loop_cartesian_parity(loops):
+    _, log_gn, log_or = loops
+    p_gn, p_or = np.asarray(log_gn.p), np.asarray(log_or.p)
+    assert np.abs(p_gn[:, :3] - p_or[:, :3]).max() < 0.01, "EE paths diverged"
+
+
+def test_all_ticks_successful(loops):
+    _, log_gn, log_or = loops
+    assert all(log_gn.success)
+    assert all(log_or.success)
+    assert max(log_gn.viol) < 1e-4
