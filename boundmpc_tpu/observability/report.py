@@ -1,0 +1,227 @@
+"""Report generation from closed-loop telemetry (the Plotter analog).
+
+Figure catalog mirrors the reference `Plotter/Plotter.py`:
+  * orthogonal position/orientation errors inside their quartic bound
+    envelopes vs path parameter (:249-413)
+  * joint positions / velocities with limits (:445-520)
+  * Cartesian path vs reference with via points (:522-600)
+  * path parameter phi / dphi over time (:602-660)
+  * computation time (semilog, 0.1 s real-time line, :414-445) and solver
+    iterations (:436-445)
+  * manipulability measure (:668-681)
+  * npz export of every series (:683-756)
+
+Errors are recomputed offline from logged states exactly like the reference
+recomputes "true" errors from logged poses (:96-135): position error via the
+window decomposition, orientation error as log(R_actual R_ref^T).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from .. import kinematics, lie  # noqa: E402
+from ..bounds import quartic_eval, segment_bound_coeffs  # noqa: E402
+
+
+@dataclass
+class Report:
+    outdir: str
+    figures: Dict[str, str]
+    timing: Dict[str, float]
+    npz_path: str
+
+
+def _bound_envelopes(path, phis):
+    """Evaluate the 9-channel quartic bounds at each logged phi (host)."""
+    seg_len = np.asarray(path.seg_len)
+    acoef = np.asarray(
+        segment_bound_coeffs(
+            path.seg_len, path.asymm_lower, path.asymm_upper, path.s,
+            path.e_p_min, path.e_r_min, path.e_p_max, path.e_r_max,
+        )
+    )  # (S, 9, 5)
+    phi_start = np.asarray(path.phi_start)
+    segs = np.clip(np.searchsorted(phi_start[1:-1], phis, side="right"), 0,
+                   acoef.shape[0] - 1)
+    local = phis - phi_start[segs]
+    vals = np.stack(
+        [np.asarray(quartic_eval(jnp.asarray(local), jnp.asarray(acoef[segs, ch])))
+         for ch in range(9)], axis=-1,
+    )  # (T, 9)
+    return vals, segs
+
+
+def _position_error_decomp(path, phis, segs, p_meas):
+    """e_p in the window frame: (par, bp1, bp2) coordinates."""
+    p0 = np.asarray(path.seg_p0)[segs]
+    dp = np.asarray(path.seg_dp)[segs]
+    bp1 = np.asarray(path.bp1)[segs]
+    bp2 = np.asarray(path.bp2)[segs]
+    phi_start = np.asarray(path.phi_start)[segs]
+    p_d = p0 + dp * (phis - phi_start)[:, None]
+    e = p_meas - p_d
+    return (
+        np.einsum("ti,ti->t", e, dp),
+        np.einsum("ti,ti->t", e, bp1),
+        np.einsum("ti,ti->t", e, bp2),
+        p_d,
+    )
+
+
+def _orientation_error(p_meas_rot, pr_ref):
+    """True rotation error rotvec: log(R_c R_d^T) (Plotter.py:96-135)."""
+    Rc = np.asarray(lie.rotvec_to_matrix(jnp.asarray(p_meas_rot)))
+    Rd = np.asarray(lie.rotvec_to_matrix(jnp.asarray(pr_ref)))
+    return np.asarray(
+        lie.matrix_to_rotvec(jnp.asarray(Rc @ np.transpose(Rd, (0, 2, 1))))
+    )
+
+
+def generate_report(log, runner, outdir: str, tail: str = "run") -> Report:
+    """Render the figure catalog + npz export for a RunLog."""
+    os.makedirs(outdir, exist_ok=True)
+    figures = {}
+    arrays = log.arrays()
+    t = arrays["t"]
+    phis = arrays["phi"]
+    q = arrays["q"]
+    dq = arrays["dq"]
+    p = arrays["p"]
+    path = runner.path
+
+    bounds, segs = _bound_envelopes(path, phis)
+    e_par, e_b1, e_b2, p_d = _position_error_decomp(path, phis, segs, p[:, :3])
+    e_r = _orientation_error(p[:, 3:], arrays["pr_ref"])
+    br1 = np.asarray(path.br1)[segs]
+    br2 = np.asarray(path.br2)[segs]
+    dr_u = np.asarray(path.seg_dr_unit)[segs]
+    er_b1 = np.einsum("ti,ti->t", e_r, br1)
+    er_b2 = np.einsum("ti,ti->t", e_r, br2)
+    er_par = np.einsum("ti,ti->t", e_r, dr_u)
+
+    def save(fig, name):
+        fp = os.path.join(outdir, f"{name}_{tail}.png")
+        fig.savefig(fp, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        figures[name] = fp
+
+    # 1. Position errors in the bound envelopes
+    fig, axes = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+    for ax, (ei, lo, hi, lbl) in zip(axes, [
+        (e_b1, bounds[:, 2], bounds[:, 0], "bp1"),
+        (e_b2, bounds[:, 3], bounds[:, 1], "bp2"),
+    ]):
+        ax.plot(phis, ei, label=f"e_p·{lbl}")
+        ax.plot(phis, lo, "r--", lw=0.8, label="bounds")
+        ax.plot(phis, hi, "r--", lw=0.8)
+        ax.set_ylabel(f"{lbl} error [m]")
+        ax.legend(loc="upper right", fontsize=8)
+    axes[-1].set_xlabel("path parameter φ")
+    fig.suptitle("Orthogonal position errors vs quartic bounds")
+    save(fig, "position_errors")
+
+    # 2. Orientation errors in the bound envelopes
+    fig, axes = plt.subplots(3, 1, figsize=(8, 8), sharex=True)
+    for ax, (ei, lo, hi, lbl) in zip(axes, [
+        (er_b1, bounds[:, 6], bounds[:, 4], "br1"),
+        (er_b2, bounds[:, 7], bounds[:, 5], "br2"),
+        (er_par, -bounds[:, 8], bounds[:, 8], "tangential"),
+    ]):
+        ax.plot(phis, ei, label=f"e_r·{lbl}")
+        ax.plot(phis, lo, "r--", lw=0.8)
+        ax.plot(phis, hi, "r--", lw=0.8)
+        ax.set_ylabel(f"{lbl} [rad]")
+        ax.legend(loc="upper right", fontsize=8)
+    axes[-1].set_xlabel("path parameter φ")
+    fig.suptitle("Orientation errors vs quartic bounds")
+    save(fig, "orientation_errors")
+
+    # 3. Joint states with limits
+    lims = kinematics.robot_limits()
+    fig, axes = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+    axes[0].plot(t, q)
+    for v in np.asarray(lims.q_upper):
+        axes[0].axhline(v, color="r", ls=":", lw=0.5)
+        axes[0].axhline(-v, color="r", ls=":", lw=0.5)
+    axes[0].set_ylabel("q [rad]")
+    axes[1].plot(t, dq)
+    for v in np.asarray(lims.dq_upper):
+        axes[1].axhline(v, color="r", ls=":", lw=0.5)
+        axes[1].axhline(-v, color="r", ls=":", lw=0.5)
+    axes[1].set_ylabel("dq [rad/s]")
+    axes[1].set_xlabel("t [s]")
+    fig.suptitle("Joint positions / velocities with limits")
+    save(fig, "joints")
+
+    # 4. Cartesian path vs reference
+    fig = plt.figure(figsize=(7, 6))
+    ax = fig.add_subplot(projection="3d")
+    ax.plot(p[:, 0], p[:, 1], p[:, 2], label="EE path")
+    ax.plot(p_d[:, 0], p_d[:, 1], p_d[:, 2], "--", label="reference")
+    n_real = int(path.n_real)
+    vias = np.asarray(path.seg_p0)[: n_real + 1]
+    ax.scatter(vias[:, 0], vias[:, 1], vias[:, 2], c="k", marker="o", s=25,
+               label="via points")
+    ax.legend()
+    fig.suptitle("Cartesian end-effector path")
+    save(fig, "cartesian")
+
+    # 5. Path parameter
+    fig, axes = plt.subplots(2, 1, figsize=(8, 5), sharex=True)
+    axes[0].plot(t, phis)
+    axes[0].axhline(runner.phi_max, color="k", ls="--", lw=0.8)
+    axes[0].set_ylabel("φ")
+    axes[1].plot(t, arrays["dphi"])
+    axes[1].set_ylabel("dφ")
+    axes[1].set_xlabel("t [s]")
+    fig.suptitle("Path parameter evolution")
+    save(fig, "phi")
+
+    # 6. Timing + iterations (reference real-time line at dt)
+    fig, axes = plt.subplots(2, 1, figsize=(8, 5), sharex=True)
+    axes[0].semilogy(t, arrays["t_comp"], ".-")
+    axes[0].axhline(runner.cfg.dt, color="r", ls="--", label=f"{runner.cfg.dt}s budget")
+    axes[0].set_ylabel("t_comp [s]")
+    axes[0].legend(fontsize=8)
+    axes[1].plot(t, arrays["iters"], ".-")
+    axes[1].set_ylabel("solver iters")
+    axes[1].set_xlabel("t [s]")
+    save(fig, "timing")
+
+    # 7. Manipulability
+    manip = np.asarray(
+        jnp.stack([kinematics.manipulability(jnp.asarray(qi)) for qi in q])
+    )
+    fig, ax = plt.subplots(figsize=(8, 3))
+    ax.plot(t, manip)
+    ax.set_ylabel("det(J Jᵀ)")
+    ax.set_xlabel("t [s]")
+    fig.suptitle("Manipulability measure")
+    save(fig, "manipulability")
+
+    timing = {
+        "t_comp_min": float(np.min(arrays["t_comp"])),
+        "t_comp_max": float(np.max(arrays["t_comp"])),
+        "t_comp_avg": float(np.mean(arrays["t_comp"])),
+        "t_comp_p99": float(np.percentile(arrays["t_comp"], 99)),
+    }
+
+    npz_path = os.path.join(outdir, f"data_{tail}.npz")
+    np.savez_compressed(
+        npz_path, **arrays,
+        e_p_b1=e_b1, e_p_b2=e_b2, e_p_par=e_par,
+        e_r_b1=er_b1, e_r_b2=er_b2, e_r_par=er_par,
+        bounds=bounds, p_ref=p_d,
+    )
+    return Report(outdir=outdir, figures=figures, timing=timing, npz_path=npz_path)

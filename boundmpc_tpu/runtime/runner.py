@@ -40,6 +40,8 @@ class RunLog:
     viol: List[float] = field(default_factory=list)
     obj: List[float] = field(default_factory=list)
     t_comp: List[float] = field(default_factory=list)
+    pr_ref: List[np.ndarray] = field(default_factory=list)  # (3,) rotation ref
+    sector: List[int] = field(default_factory=list)
     horizon_q: List[np.ndarray] = field(default_factory=list)  # (N, 7)
     horizon_phi: List[np.ndarray] = field(default_factory=list)  # (N,)
     horizon_p: List[np.ndarray] = field(default_factory=list)  # (N, 6)
@@ -104,6 +106,8 @@ class ClosedLoopRunner:
             log.viol.append(float(out.stats.viol))
             log.obj.append(float(out.stats.obj))
             log.t_comp.append(t_comp)
+            log.pr_ref.append(np.asarray(state.pr_ref))
+            log.sector.append(int(state.sector))
             log.horizon_q.append(np.asarray(out.traj.q))
             log.horizon_phi.append(np.asarray(out.traj.phi))
             log.horizon_p.append(np.asarray(out.traj.p))
