@@ -91,6 +91,51 @@ def init_state(cfg: ocp.OcpConfig, q0: jnp.ndarray, dtype=jnp.float32) -> Engine
     )
 
 
+def replan_state(cfg: ocp.OcpConfig, state: EngineState, new_path: PathData
+                 ) -> EngineState:
+    """Re-anchor the engine state onto a NEW path mid-run — the reference's
+    mid-run replanning (`BoundMPC.update`, :163-217, triggered by the
+    Trajectory service with update=true, bound_mpc_node.py:121-165).
+
+    phi is re-anchored by projecting the current EE position onto the new
+    first segment (:198-203); dphi/ddphi/dddphi by projecting the Cartesian
+    velocity/acceleration/jerk onto the new direction (:204-210); the
+    rotation reference is re-integrated from the new first via (:212-217).
+    The jerk-knot warm start keeps its joint columns (still a feasible
+    joint-space plan) but zeroes the path-jerk column — the condensed analog
+    of the reference's per-stage phi-state re-projection (BoundMPC.py:335-371).
+    """
+    q, dq, ddq = state.q, state.dq, state.ddq
+    pose = kinematics.fk_pose(q)
+    J = kinematics.jacobian(q)
+    dJ = kinematics.djacobian(q, dq)
+    ddJ = kinematics.ddjacobian(q, dq, ddq)
+    v = J @ dq
+    a = J @ ddq + dJ @ dq
+    j_cart = J @ state.jerk + dJ @ ddq + ddJ @ dq
+
+    dp0 = new_path.seg_dp[0]
+    phi_new = jnp.dot(pose[:3] - new_path.seg_p0[0], dp0)
+    dphi_new = jnp.dot(v[:3], dp0)
+    ddphi_new = jnp.dot(a[:3], dp0)
+    dddphi_new = jnp.dot(j_cart[:3], dp0)
+
+    pr_ref = lie.integrate_rotation_reference(
+        new_path.via_rotvec[0], new_path.seg_dr[0], jnp.zeros_like(phi_new),
+        phi_new,
+    )
+    iw_ref = new_path.seg_iw[0] + phi_new * new_path.seg_dr[0]
+
+    u_warm = state.u_warm.at[:, cfg.nr_joints].set(0.0)
+    return state._replace(
+        phi=phi_new, dphi=dphi_new, ddphi=ddphi_new, dddphi=dddphi_new,
+        pr_ref=pr_ref, iw_ref=iw_ref,
+        sector=jnp.zeros_like(state.sector),
+        u_warm=u_warm,
+        error_count=jnp.zeros_like(state.error_count),
+    )
+
+
 def _shift_plan(u: jnp.ndarray) -> jnp.ndarray:
     """Receding-horizon shift (BoundMPC.py:373-375): drop stage 0, repeat the
     terminal knot."""

@@ -80,6 +80,38 @@ class ClosedLoopRunner:
             partial(engine.tick, self.cfg, self.scfg, self.coeffs, self.limits)
         )
 
+    def replan(self, scenario: Scenario, velocity_lookahead: bool = True):
+        """Mid-run path replacement (the node's Trajectory update=true
+        handler, bound_mpc_node.py:121-165): the new path starts at the
+        current EE pose (+ optional half-tick velocity look-ahead) and the
+        engine state is re-anchored onto it."""
+        from scipy.spatial.transform import Rotation as R
+
+        q = jnp.asarray(np.asarray(self.state.q), self.dtype)
+        pose = np.array(kinematics.fk_pose(q))
+        v = np.asarray(kinematics.jacobian(q)) @ np.asarray(self.state.dq)
+        p_start = pose[:3] + (0.5 * self.cfg.dt * v[:3] if velocity_lookahead else 0.0)
+
+        scenario.p_via = [p_start] + [np.asarray(p) for p in scenario.p_via[1:]]
+        scenario.r_via = [R.from_rotvec(pose[3:]).as_matrix()] + list(scenario.r_via[1:])
+
+        np_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
+        new_path = scenario.build(capacity=None, dtype=np_dtype)
+        if self.dtype != jnp.float64:
+            new_path = jax.tree.map(
+                lambda a: jnp.asarray(a, self.dtype)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+                new_path,
+            )
+        self.path = new_path
+        self.scenario = scenario
+        self.weights = jnp.asarray(scenario.weights, self.dtype)
+        self.phi_max = float(new_path.phi_max) - 1e-4
+        self.x_phi_d = jnp.asarray([self.phi_max, 0.0, 0.0], self.dtype)
+        self.state = jax.jit(partial(engine.replan_state, self.cfg))(
+            self.state, new_path
+        )
+
     def run(self, max_ticks: int = 400, stop_tol: float = 0.01,
             verbose: bool = False) -> RunLog:
         """Run until phi reaches phi_max (runner wait-loop semantics,
