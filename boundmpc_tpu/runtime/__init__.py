@@ -8,3 +8,4 @@ stacked-pytree log.
 """
 from .scenarios import Scenario, experiment1, experiment2, default_weights, random_scenario  # noqa: F401
 from .runner import ClosedLoopRunner, RunLog  # noqa: F401
+from .fleet import FleetRunner, FleetStats  # noqa: F401
