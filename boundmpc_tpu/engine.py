@@ -223,6 +223,15 @@ def tick(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
     built-in solver (used by the parity oracle harness, which plugs a
     host-side scipy solve into the otherwise identical tick pipeline).
     """
+    # TPU matmul units default to bf16 inputs; the solver's normal equations
+    # and the FK chain need true f32 accumulation (trace-time context).
+    with jax.default_matmul_precision("float32"):
+        return _tick_impl(cfg, scfg, coeffs, limits, state, path, weights,
+                          x_phi_d, solve_fn)
+
+
+def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
+               solve_fn):
     # Window slide on segment crossing (ReferencePath.update :190-212,
     # called from get_parameters at the start of BoundMPC.step :310)
     sector = advance_sector(path, state.sector, state.phi)
