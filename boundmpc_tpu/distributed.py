@@ -51,7 +51,10 @@ class ShardedEngine:
                  mesh: Mesh, dtype=jnp.float32):
         self.cfg, self.scfg, self.mesh, self.dtype = cfg, scfg, mesh, dtype
         coeffs = jerkint.coeff_matrices(cfg.N, cfg.dt, dtype=dtype)
-        limits = kinematics.robot_limits()
+        limits = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype) if isinstance(a, jnp.ndarray) else a,
+            kinematics.robot_limits(),
+        )
 
         tick1 = partial(engine.tick, cfg, scfg, coeffs, limits)
 

@@ -76,15 +76,19 @@ def robot_limits() -> RobotLimits:
 
 
 def _axis_rot(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    """Rotation about a fixed coordinate axis (entries in {0, +-1})."""
-    K = jnp.array(
-        [
-            [0.0, -axis[2], axis[1]],
-            [axis[2], 0.0, -axis[0]],
-            [-axis[1], axis[0], 0.0],
-        ]
-    )
-    return jnp.eye(3) + jnp.sin(angle) * K + (1.0 - jnp.cos(angle)) * (K @ K)
+    """Rotation about a fixed coordinate axis (entries in {0, +-1}).
+
+    Built dtype-strictly from ``axis`` so f32 engine states keep f32 scan
+    carries even when x64 is globally enabled.
+    """
+    z = jnp.zeros((), dtype=axis.dtype)
+    K = jnp.stack([
+        jnp.stack([z, -axis[2], axis[1]]),
+        jnp.stack([axis[2], z, -axis[0]]),
+        jnp.stack([-axis[1], axis[0], z]),
+    ])
+    eye = jnp.eye(3, dtype=axis.dtype)
+    return eye + jnp.sin(angle) * K + (1.0 - jnp.cos(angle)) * (K @ K)
 
 
 def joint_frames(q: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
