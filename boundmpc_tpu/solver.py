@@ -39,6 +39,12 @@ class SolverConfig(NamedTuple):
     ls_decay: float = 0.7
     armijo: float = 1e-4
     tol_step: float = 1e-8  # convergence: max |du|
+    # KKT step method: "qr" (stacked least squares, most robust) or
+    # "woodbury" (capped-weight Cholesky + low-rank active-set correction —
+    # pure matmuls, fastest on MXU).
+    method: str = "qr"
+    w_cap: float = 1e5  # woodbury: barrier-weight cap in the base Hessian
+    k_active: int = 40  # woodbury: max extreme rows corrected exactly
 
 
 # Preset for the float32 TPU runtime path: QR keeps the barrier system
@@ -123,18 +129,46 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         #     b = [sqrt(2) r; rho; 0],   rho = mu beta' / sqrt(W)
         # => A^T A du = -A^T b  ==  H du = -g.
         w = mu * _barrier_d2(z, scfg.delta)
-        sqw = jnp.sqrt(w)
-        rho = mu * _barrier_d1(z, scfg.delta) / jnp.maximum(sqw, 1e-30)
-        sq2 = jnp.sqrt(jnp.asarray(2.0, dtype))
-        A = jnp.concatenate(
-            [sq2 * Jr, sqw[:, None] * Jc,
-             jnp.sqrt(scfg.reg) * jnp.eye(n, dtype=dtype)], axis=0
-        )
-        b = jnp.concatenate(
-            [sq2 * r, -rho, jnp.zeros(n, dtype)], axis=0
-        )
-        Q, R = jnp.linalg.qr(A)
-        du = -jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
+        if scfg.method == "qr":
+            sqw = jnp.sqrt(w)
+            rho = mu * _barrier_d1(z, scfg.delta) / jnp.maximum(sqw, 1e-30)
+            sq2 = jnp.sqrt(jnp.asarray(2.0, dtype))
+            A = jnp.concatenate(
+                [sq2 * Jr, sqw[:, None] * Jc,
+                 jnp.sqrt(scfg.reg) * jnp.eye(n, dtype=dtype)], axis=0
+            )
+            b = jnp.concatenate(
+                [sq2 * r, -rho, jnp.zeros(n, dtype)], axis=0
+            )
+            Q, R = jnp.linalg.qr(A)
+            du = -jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
+        else:
+            # Matmul-only step: cap the barrier weights so the base Hessian
+            # is float32-Cholesky-safe (kappa ~ w_cap * |Jc row|^2 / reg),
+            # then restore the few extreme (near-active) rows EXACTLY with a
+            # Woodbury low-rank correction:
+            #   H = Hm + U^T dW U,  U = Jc[active], dW = w - w_cap
+            #   H^-1 g = Hm^-1 g - Hm^-1 U^T (dW^-1 + U Hm^-1 U^T)^-1 U Hm^-1 g
+            # As dW -> inf this tends to the exactly-projected KKT step; the
+            # inner k x k system stays well-conditioned because dW^-1 -> 0.
+            w_capped = jnp.minimum(w, scfg.w_cap)
+            Hm = 2.0 * (Jr.T @ Jr) + (Jc.T * w_capped[None, :]) @ Jc
+            Hm = Hm + scfg.reg * jnp.eye(n, dtype=dtype)
+            L = jnp.linalg.cholesky(Hm)
+
+            dw = jnp.maximum(w - scfg.w_cap, 0.0)
+            _, idx = jax.lax.top_k(dw, scfg.k_active)
+            dw_k = dw[idx]  # (k,)
+            U = Jc[idx]  # (k, n)
+
+            sol_g = jax.scipy.linalg.cho_solve((L, True), g)  # Hm^-1 g
+            sol_U = jax.scipy.linalg.cho_solve((L, True), U.T)  # Hm^-1 U^T
+            # Rows with dw == 0 are padding: a huge dW^-1 diagonal entry
+            # makes their correction vanish smoothly.
+            inv_dw = jnp.where(dw_k > 0.0, 1.0 / jnp.maximum(dw_k, 1e-30), 1e30)
+            S = jnp.diag(inv_dw) + U @ sol_U  # (k, k)
+            y = jnp.linalg.solve(S, U @ sol_g)
+            du = -(sol_g - sol_U @ y)
         # Safety net: degenerate factorization -> scaled gradient step.
         du_ok = jnp.all(jnp.isfinite(du))
         du = jnp.where(du_ok, du, -g / (jnp.linalg.norm(g) + 1.0))
