@@ -39,9 +39,11 @@ class SolverConfig(NamedTuple):
     ls_decay: float = 0.7
     armijo: float = 1e-4
     tol_step: float = 1e-8  # convergence: max |du|
-    # KKT step method: "qr" (stacked least squares, most robust) or
-    # "woodbury" (capped-weight Cholesky + low-rank active-set correction —
-    # pure matmuls, fastest on MXU).
+    # KKT step method: "qr" (stacked least squares — the production path) or
+    # "woodbury" (capped-weight Cholesky + low-rank active-set correction;
+    # pure matmuls but NOT robust: it diverges on experiment1's near-pi
+    # rotation segment when the active set exceeds k_active — kept for
+    # benchmarking only).
     method: str = "qr"
     w_cap: float = 1e5  # woodbury: barrier-weight cap in the base Hessian
     k_active: int = 40  # woodbury: max extreme rows corrected exactly
