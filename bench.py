@@ -24,7 +24,7 @@ def main():
     cfg = ocp.OcpConfig()
     scfg = solver_mod.RUNTIME_F32
     platform = jax.devices()[0].platform
-    B = 512 if platform != "cpu" else 16
+    B = 256 if platform != "cpu" else 16
 
     states, paths, weights, x_phi_d = _build_batch(B, cfg)
     tick_b = batch.make_batched_tick(cfg, scfg, dtype=jnp.float32, donate=False)
@@ -35,12 +35,14 @@ def main():
         states, out = tick_b(states, paths, weights, x_phi_d)
     jax.block_until_ready(states.phi)
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
+    times = []
+    for _ in range(12):
+        t0 = time.perf_counter()
         states, out = tick_b(states, paths, weights, x_phi_d)
-    jax.block_until_ready(states.phi)
-    dt = (time.perf_counter() - t0) / n_iters
+        jax.block_until_ready(states.phi)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    p99 = float(np.percentile(times, 99))
 
     solves_per_s = B / dt
     n_success = int(np.asarray(out.success).sum())
@@ -52,7 +54,9 @@ def main():
         "batch": B,
         "platform": platform,
         "tick_latency_ms": round(dt * 1e3, 2),
+        "tick_latency_p99_ms": round(p99 * 1e3, 2),
         "success_rate": round(n_success / B, 3),
+        "max_viol": float(np.asarray(out.stats.viol).max()),
     }
     print(json.dumps(result))
 
