@@ -110,6 +110,23 @@ class FleetRunner:
             mean_phi=float(np.asarray(self.states.phi).mean()),
         )
 
+    def save_checkpoint(self, path: str):
+        """Persist the fleet's carried engine state (warm starts, phi state,
+        rotation references, failure counters) — resume == continue the
+        receding-horizon loops exactly where they stopped (SURVEY.md §5.4:
+        the reference's only 'checkpoint' is its in-memory warm start)."""
+        flat = {f"s{i}": np.asarray(leaf)
+                for i, leaf in enumerate(jax.tree.leaves(self.states))}
+        np.savez_compressed(path, **flat)
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        leaves = [jnp.asarray(data[f"s{i}"])
+                  for i in range(len(data.files))]
+        self.states = jax.tree.unflatten(
+            jax.tree.structure(self.states), leaves
+        )
+
     def close(self):
         if self._sink is not None:
             self._sink.close()
