@@ -53,7 +53,7 @@ class StageJacPieces(NamedTuple):
 
 
 def _stage_nonlinear(cfg: ocp.OcpConfig, params: ocp.OcpParams, q, dq, phi,
-                     dphi, ddphi, iw, v_prev):
+                     dphi, ddphi, iw, v_prev, scaled=False):
     """All FK-dependent per-stage outputs: (r_nl (18), c_nl (5), v (6)).
 
     Mirrors ocp.residuals / ocp.nonlin_constraints for a single stage."""
@@ -80,28 +80,34 @@ def _stage_nonlinear(cfg: ocp.OcpConfig, params: ocp.OcpParams, q, dq, phi,
 
     # Nonlinear constraints (ocp.nonlin_constraints, single stage)
     e_r_proj = jnp.dot(ref.dp_normed_d, err.e_r_par)
-    c_tang = e_r_proj**2 - ref.r_par_bound**2
+    c_tang = e_r_proj**2 - ref.r_par_bound**2  # scaled below
     e1 = jnp.dot(err.e_p, ref.bp1) - ref.e_p_off[0]
     e2 = jnp.dot(err.e_p, ref.bp2) - ref.e_p_off[1]
     pb = 0.5 * (ref.bound_upper[:2] - ref.bound_lower[:2])
     r1 = jnp.dot(ref.br1, err.e_r_orth1) - ref.e_r_off[0]
     r2 = jnp.dot(ref.br2, err.e_r_orth2) - ref.e_r_off[1]
     rb = 0.5 * (ref.bound_upper[2:] - ref.bound_lower[2:])
+    def norm(csq, bsq):
+        return csq / jnp.maximum(bsq, 1e-2) if scaled else csq
+
     c_nl = jnp.stack([
-        c_tang, e1**2 - pb[0] ** 2, e2**2 - pb[1] ** 2,
-        r1**2 - rb[0] ** 2, r2**2 - rb[1] ** 2,
+        norm(c_tang, ref.r_par_bound**2),
+        norm(e1**2 - pb[0] ** 2, pb[0] ** 2),
+        norm(e2**2 - pb[1] ** 2, pb[1] ** 2),
+        norm(r1**2 - rb[0] ** 2, rb[0] ** 2),
+        norm(r2**2 - rb[1] ** 2, rb[1] ** 2),
     ])  # (5,)
 
     return jnp.concatenate([r_nl, c_nl, v])  # (29,)
 
 
 def stage_jacobians(cfg: ocp.OcpConfig, params: ocp.OcpParams,
-                    traj: ocp.Trajectory, v_prev_all: jnp.ndarray
-                    ) -> StageJacPieces:
+                    traj: ocp.Trajectory, v_prev_all: jnp.ndarray,
+                    scaled: bool = False) -> StageJacPieces:
     """vmapped per-stage jacfwd: 26 tangents through ONE FK chain each."""
 
     def jac_one(q, dq, phi, dphi, ddphi, iw, v_prev):
-        f = lambda *a: _stage_nonlinear(cfg, params, *a)
+        f = lambda *a: _stage_nonlinear(cfg, params, *a, scaled=scaled)
         jacs = jax.jacfwd(f, argnums=(0, 1, 2, 3, 4, 5, 6))(
             q, dq, phi, dphi, ddphi, iw, v_prev
         )
@@ -235,12 +241,13 @@ def residuals_constraints_and_jacobians(cfg: ocp.OcpConfig,
                                         coeffs: jerkint.JerkCoeffs,
                                         lmaps: LinearJacs,
                                         params: ocp.OcpParams,
-                                        u: jnp.ndarray, limits):
+                                        u: jnp.ndarray, limits,
+                                        scaled: bool = False):
     """(r, c, Jr, Jc) with structured assembly — the solver's fast path."""
     ev = ocp.evaluate_stages(cfg, coeffs, params, u)
     r = ocp.residuals(cfg, params, ev, u)
-    c = ocp.full_constraints(cfg, params, ev, u, limits)
+    c = ocp.full_constraints(cfg, params, ev, u, limits, scaled=scaled)
     v_prev_all = jnp.concatenate([params.v0[None], ev.traj.v[:-1]], axis=0)
-    pieces = stage_jacobians(cfg, params, ev.traj, v_prev_all)
+    pieces = stage_jacobians(cfg, params, ev.traj, v_prev_all, scaled=scaled)
     Jr, Jc = assemble_jacobians(cfg, lmaps, params, ev.traj, pieces, u)
     return r, c, Jr, Jc

@@ -399,27 +399,41 @@ def objective(cfg: OcpConfig, params: OcpParams, ev: StageEval,
     return obj
 
 
-def nonlin_constraints(cfg: OcpConfig, params: OcpParams, ev: StageEval) -> jnp.ndarray:
+def nonlin_constraints(cfg: OcpConfig, params: OcpParams, ev: StageEval,
+                       scaled: bool = False) -> jnp.ndarray:
     """The 5 per-stage nonlinear bound constraints c <= 0, shape (N, 5):
     [tangential rot, pos-orth1, pos-orth2, rot-orth1, rot-orth2]
-    (casadi_ocp_formulation.py:316-349)."""
+    (casadi_ocp_formulation.py:316-349).
+
+    ``scaled=True`` normalizes each squared constraint by its bound^2 so the
+    barrier sees homogeneous O(1) rows (the reference's raw constraints span
+    1e-4 .. 0.25 across the asymmetric-corridor scenarios, which destroys
+    float32 barrier conditioning).  Scaling by a positive factor leaves the
+    constraint set — and hence the NLP's KKT points — unchanged; reported
+    violations always use the unscaled reference units.
+    """
     ref, err = ev.ref, ev.err
 
+    def norm(csq, bound_sq):
+        if not scaled:
+            return csq
+        return csq / jnp.maximum(bound_sq, 1e-2)
+
     e_r_proj = jnp.einsum("ki,ki->k", ref.dp_normed_d, err.e_r_par)
-    c_tang = e_r_proj**2 - ref.r_par_bound**2
+    c_tang = norm(e_r_proj**2 - ref.r_par_bound**2, ref.r_par_bound**2)
 
     # Position: squared-slack form (decomp_function, bound_mpc_functions.py:298-310)
     e1 = jnp.einsum("ki,ki->k", err.e_p, ref.bp1) - ref.e_p_off[:, 0]
     e2 = jnp.einsum("ki,ki->k", err.e_p, ref.bp2) - ref.e_p_off[:, 1]
     pb = 0.5 * (ref.bound_upper[:, :2] - ref.bound_lower[:, :2])
-    c_p1 = e1**2 - pb[:, 0] ** 2
-    c_p2 = e2**2 - pb[:, 1] ** 2
+    c_p1 = norm(e1**2 - pb[:, 0] ** 2, pb[:, 0] ** 2)
+    c_p2 = norm(e2**2 - pb[:, 1] ** 2, pb[:, 1] ** 2)
 
     r1 = jnp.einsum("ki,ki->k", ref.br1, err.e_r_orth1) - ref.e_r_off[:, 0]
     r2 = jnp.einsum("ki,ki->k", ref.br2, err.e_r_orth2) - ref.e_r_off[:, 1]
     rb = 0.5 * (ref.bound_upper[:, 2:] - ref.bound_lower[:, 2:])
-    c_r1 = r1**2 - rb[:, 0] ** 2
-    c_r2 = r2**2 - rb[:, 1] ** 2
+    c_r1 = norm(r1**2 - rb[:, 0] ** 2, rb[:, 0] ** 2)
+    c_r2 = norm(r2**2 - rb[:, 1] ** 2, rb[:, 1] ** 2)
 
     return jnp.stack([c_tang, c_p1, c_p2, c_r1, c_r2], axis=-1)
 
@@ -445,9 +459,10 @@ def linear_constraints(cfg: OcpConfig, params: OcpParams, ev: StageEval,
 
 
 def full_constraints(cfg: OcpConfig, params: OcpParams, ev: StageEval,
-                     u: jnp.ndarray, limits: kinematics.RobotLimits) -> jnp.ndarray:
+                     u: jnp.ndarray, limits: kinematics.RobotLimits,
+                     scaled: bool = False) -> jnp.ndarray:
     return jnp.concatenate(
-        [nonlin_constraints(cfg, params, ev).ravel(),
+        [nonlin_constraints(cfg, params, ev, scaled=scaled).ravel(),
          linear_constraints(cfg, params, ev, u, limits)]
     )
 
@@ -495,7 +510,9 @@ def residuals(cfg: OcpConfig, params: OcpParams, ev: StageEval,
 
 def residuals_and_constraints(cfg: OcpConfig, coeffs: jerkint.JerkCoeffs,
                               params: OcpParams, u: jnp.ndarray,
-                              limits: kinematics.RobotLimits):
+                              limits: kinematics.RobotLimits,
+                              scaled: bool = False):
     """(r, c) in one rollout — what the GN solver differentiates."""
     ev = evaluate_stages(cfg, coeffs, params, u)
-    return residuals(cfg, params, ev, u), full_constraints(cfg, params, ev, u, limits)
+    return residuals(cfg, params, ev, u), full_constraints(
+        cfg, params, ev, u, limits, scaled=scaled)

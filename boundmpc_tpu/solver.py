@@ -52,6 +52,10 @@ class SolverConfig(NamedTuple):
     # 80-tangent jacfwd — the reference implementation the structured path
     # is tested against).
     jac: str = "structured"
+    # Normalize the squared bound constraints by bound^2 inside the barrier
+    # (homogeneous rows; the KKT set is unchanged, reported violations stay
+    # in reference units).
+    scale_constraints: bool = True
 
 
 # Preset for the float32 TPU runtime path: QR keeps the barrier system
@@ -106,7 +110,8 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
 
     def rc(u_flat):
         return ocp.residuals_and_constraints(
-            cfg, coeffs, params, u_flat.reshape(N, nu), limits
+            cfg, coeffs, params, u_flat.reshape(N, nu), limits,
+            scaled=scfg.scale_constraints,
         )
 
     def merit(u_flat, mu):
@@ -124,7 +129,8 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         u, mu = st.u, st.mu
         if scfg.jac == "structured":
             r, c, Jr, Jc = jmod.residuals_constraints_and_jacobians(
-                cfg, coeffs, lmaps, params, u.reshape(N, nu), limits
+                cfg, coeffs, lmaps, params, u.reshape(N, nu), limits,
+                scaled=scfg.scale_constraints,
             )
         else:
             r, c = rc(u)
