@@ -53,15 +53,17 @@ class SolverConfig(NamedTuple):
     # is tested against).
     jac: str = "structured"
     # Normalize the squared bound constraints by bound^2 inside the barrier
-    # (homogeneous rows; the KKT set is unchanged, reported violations stay
-    # in reference units).
-    scale_constraints: bool = True
+    # (homogeneous rows — essential for float32 corridor scenarios).  Off by
+    # default: the amplified rows strengthen the barrier's interior bias,
+    # which costs a few 1e-3 of objective parity vs the exact NLP optimum.
+    scale_constraints: bool = False
 
 
 # Preset for the float32 TPU runtime path: QR keeps the barrier system
 # solvable at delta=1e-7 (viol ~ 4e-6 in closed loop); the iteration cap
 # bounds p99 latency for warm-started receding-horizon ticks.
-RUNTIME_F32 = SolverConfig(max_iters=16, delta=1e-7, reg=1e-6, tol_step=1e-5)
+RUNTIME_F32 = SolverConfig(max_iters=16, delta=1e-7, reg=1e-6, tol_step=1e-5,
+                           scale_constraints=True)
 
 
 class SolveStats(NamedTuple):
