@@ -75,20 +75,25 @@ def robot_limits() -> RobotLimits:
     return RobotLimits(q_u, -q_u, dq_u, -dq_u, tau_u, -tau_u, 35.0, -35.0)
 
 
-def _axis_rot(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    """Rotation about a fixed coordinate axis (entries in {0, +-1}).
+def _post_rot_z(R, c, s):
+    """R @ Rz(q) with R as a tuple of 9 scalars — pure mul/add (VPU food)."""
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = R
+    return (r00 * c + r01 * s, -r00 * s + r01 * c, r02,
+            r10 * c + r11 * s, -r10 * s + r11 * c, r12,
+            r20 * c + r21 * s, -r20 * s + r21 * c, r22)
 
-    Built dtype-strictly from ``axis`` so f32 engine states keep f32 scan
-    carries even when x64 is globally enabled.
-    """
-    z = jnp.zeros((), dtype=axis.dtype)
-    K = jnp.stack([
-        jnp.stack([z, -axis[2], axis[1]]),
-        jnp.stack([axis[2], z, -axis[0]]),
-        jnp.stack([-axis[1], axis[0], z]),
-    ])
-    eye = jnp.eye(3, dtype=axis.dtype)
-    return eye + jnp.sin(angle) * K + (1.0 - jnp.cos(angle)) * (K @ K)
+
+def _post_rot_y(R, c, s):
+    """R @ Ry(q)."""
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = R
+    return (r00 * c - r02 * s, r01, r00 * s + r02 * c,
+            r10 * c - r12 * s, r11, r10 * s + r12 * c,
+            r20 * c - r22 * s, r21, r20 * s + r22 * c)
+
+
+# Axis pattern of the iiwa14 chain: z, y, z, -y, z, y, z (signs fold into the
+# joint angle: Ry(-q) == Ry with s -> -s).
+_AXIS_KIND = ("z", "y", "z", "-y", "z", "y", "z")
 
 
 def joint_frames(q: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -96,22 +101,46 @@ def joint_frames(q: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
     end-effector rotation matrix (3, 3).
 
     Origins[i] is the position of joint i's frame (origins[7] = EE point).
+
+    Fully unrolled scalar-formula chain (no scan, no 3x3 matmuls): 7 fused
+    rotation updates of a 9-scalar register tuple — this is what lets XLA
+    vectorize FK over (batch x stage x AD-tangent) axes as pure elementwise
+    VPU work instead of tiny serialized MXU ops.
     """
+    dtype = q.dtype
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    R = (one, zero, zero, zero, one, zero, zero, zero, one)
+    px = py = pz = zero
+    offs = [D1, D2, D3, D4, D5, D6, D7]
+    origins = []
+    axes = []
+    c_all = jnp.cos(q)
+    s_all = jnp.sin(q)
+    for i, kind in enumerate(_AXIS_KIND):
+        # translate along the current frame's z by offs[i]
+        off = jnp.asarray(offs[i], dtype)
+        px = px + R[2] * off
+        py = py + R[5] * off
+        pz = pz + R[8] * off
+        origins.append((px, py, pz))
+        c, s = c_all[i], s_all[i]
+        if kind == "z":
+            axes.append((R[2], R[5], R[8]))
+            R = _post_rot_z(R, c, s)
+        elif kind == "y":
+            axes.append((R[1], R[4], R[7]))
+            R = _post_rot_y(R, c, s)
+        else:  # "-y": axis is -y, i.e. Ry(-q)
+            axes.append((-R[1], -R[4], -R[7]))
+            R = _post_rot_y(R, c, -s)
+    d8 = jnp.asarray(D8, dtype)
+    origins.append((px + R[2] * d8, py + R[5] * d8, pz + R[8] * d8))
 
-    def body(carry, inp):
-        R, p = carry
-        off, axis, qi = inp
-        p_joint = p + R @ jnp.array([0.0, 0.0, 1.0], dtype=p.dtype) * off
-        z_world = R @ axis
-        R_new = R @ _axis_rot(axis, qi)
-        return (R_new, p_joint), (p_joint, z_world)
-
-    (R_final, p_last), (origins7, axes) = jax.lax.scan(
-        body, (jnp.eye(3, dtype=q.dtype), jnp.zeros(3, dtype=q.dtype)), (_OFFSETS.astype(q.dtype), _AXES.astype(q.dtype), q)
-    )
-    p_ee = p_last + R_final @ jnp.array([0.0, 0.0, D8], dtype=q.dtype)
-    origins = jnp.concatenate([origins7, p_ee[None, :]], axis=0)
-    return origins, axes, R_final
+    origins_arr = jnp.stack([jnp.stack(o) for o in origins])  # (8, 3)
+    axes_arr = jnp.stack([jnp.stack(a) for a in axes])  # (7, 3)
+    R_arr = jnp.stack(R).reshape(3, 3)
+    return origins_arr, axes_arr, R_arr
 
 
 def fk_matrix(q: jnp.ndarray) -> jnp.ndarray:
