@@ -1,0 +1,207 @@
+"""Drop-in reference-compatible facade.
+
+`BoundMPC` mirrors the public surface of the reference controller
+(`bound_mpc/bound_mpc/BoundMPC/BoundMPC.py`): same constructor arguments
+(:20-33), same `.update(...)` replanning signature (:163-180), same
+`.step(q0, dq0, ddq0, p0, v0, x_phi_d, jerk_current)` returning
+``(traj_data, ref_data, err_data, t_comp, iters)`` with the reference's
+dict key layout (:508-770).  A user of the reference can switch imports and
+keep their control loop.
+
+`MPCParams` replaces the ROS MPCParams service record (srv/MPCParams.srv);
+only the fields the reference actually reads are meaningful
+(SURVEY.md §2.3).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from . import engine, jerkint, kinematics, ocp, solver as solver_mod
+from .path import build_path
+from .runtime.scenarios import default_weights
+
+
+@dataclass
+class MPCParams:
+    """The MPCParams service record (srv/MPCParams.srv); `build`,
+    `use_acados`, `learning_based`, `experiment` are accepted but vestigial,
+    exactly as in the reference (SURVEY.md §2.3)."""
+
+    n: int = 10
+    dt: float = 0.1
+    nr_segs: int = 4
+    weights: List[float] = field(default_factory=lambda: default_weights().tolist())
+    build: bool = False
+    simulate: bool = False
+    experiment: bool = False
+    learning_based: bool = False
+    real_time: bool = False
+    use_acados: bool = False
+
+
+class BoundMPC:
+    """Reference-compatible stateful controller (external plant state)."""
+
+    def __init__(self, pos_points, rot_points, pos_lim, rot_lim, bp1, br1,
+                 s, e_p_min, e_r_min, e_p_max, e_r_max,
+                 p0=np.zeros(6), params: Optional[MPCParams] = None,
+                 dtype=jnp.float64,
+                 solver_cfg: Optional[solver_mod.SolverConfig] = None):
+        params = params or MPCParams()
+        self.params = params
+        self.dtype = dtype
+        self.N = params.n
+        self.dt = params.dt
+        self.nr_segs = params.nr_segs
+        self.cfg = ocp.OcpConfig(N=params.n, nr_segs=params.nr_segs, dt=params.dt)
+        self.scfg = solver_cfg or (
+            solver_mod.SolverConfig() if dtype == jnp.float64
+            else solver_mod.RUNTIME_F32
+        )
+        self.coeffs = jerkint.coeff_matrices(self.cfg.N, self.cfg.dt, dtype=dtype)
+        self.limits = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype) if isinstance(a, jnp.ndarray) else a,
+            kinematics.robot_limits(),
+        )
+        self.error_count = 0
+
+        self._set_path(pos_points, rot_points, pos_lim, rot_lim, bp1, br1,
+                       s, e_p_min, e_r_min, e_p_max, e_r_max)
+        self.weights = jnp.asarray(np.asarray(params.weights), dtype)
+        self.phi_max = np.array([float(self.path.phi_max) - 1e-4])
+
+        # Engine state: q placeholder (overwritten per step), pr_ref from p0.
+        st = engine.init_state(self.cfg, jnp.zeros(7, dtype), dtype=dtype)
+        self._state = st._replace(
+            pr_ref=jnp.asarray(np.asarray(p0)[3:], dtype))
+        self.phi_current = np.array([0.0])
+
+        self._tick = jax.jit(partial(engine.tick, self.cfg, self.scfg,
+                                     self.coeffs, self.limits))
+
+    # -- internals ---------------------------------------------------------
+    @staticmethod
+    def _scalar_list(x, n_via):
+        if np.isscalar(x):
+            return float(x)
+        return float(np.asarray(x).flatten()[0])
+
+    def _set_path(self, pos_points, rot_points, pos_lim, rot_lim, bp1, br1,
+                  s, e_p_min, e_r_min, e_p_max, e_r_max):
+        n_via = len(pos_points)
+        np_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
+        self.path = build_path(
+            list(pos_points), list(rot_points),
+            list(pos_lim[1]), list(pos_lim[0]),  # reference order: [upper, lower]
+            list(rot_lim[1]), list(rot_lim[0]),
+            list(bp1), list(br1),
+            self._scalar_list(s, n_via), self._scalar_list(e_p_min, n_via),
+            self._scalar_list(e_r_min, n_via), self._scalar_list(e_p_max, n_via),
+            self._scalar_list(e_r_max, n_via), self.nr_segs, dtype=np_dtype,
+        )
+        if self.dtype != jnp.float64:
+            self.path = jax.tree.map(
+                lambda a: jnp.asarray(a, self.dtype)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+                self.path,
+            )
+
+    # -- reference API -----------------------------------------------------
+    def update(self, pos_points, rot_points, pos_lim, rot_lim, bp1, br1,
+               s, e_p_min, e_r_min, e_p_max, e_r_max, p, v, a, jerk,
+               p0=np.zeros(6), params: Optional[MPCParams] = None):
+        """Mid-run replanning — reference BoundMPC.update (:163-217)."""
+        if params is not None:
+            self.params = params
+            self.weights = jnp.asarray(np.asarray(params.weights), self.dtype)
+        self._set_path(pos_points, rot_points, pos_lim, rot_lim, bp1, br1,
+                       s, e_p_min, e_r_min, e_p_max, e_r_max)
+        self.phi_max = np.array([float(self.path.phi_max) - 1e-4])
+        self._state = engine.replan_state(self.cfg, self._state, self.path)
+        self.phi_current = np.array([float(self._state.phi)])
+
+    def step(self, q0, dq0, ddq0, p0, v0, x_phi_d, jerk_current, x_des=None):
+        """One optimization step — reference BoundMPC.step (:306-506).
+
+        The plant state is supplied externally (as in the reference); the
+        internally carried warm start / rotation bookkeeping is preserved.
+        """
+        dtype = self.dtype
+        st = self._state._replace(
+            q=jnp.asarray(np.asarray(q0), dtype),
+            dq=jnp.asarray(np.asarray(dq0), dtype),
+            ddq=jnp.asarray(np.asarray(ddq0), dtype),
+            jerk=jnp.asarray(np.asarray(jerk_current), dtype),
+        )
+        t0 = time.perf_counter()
+        new_state, out = self._tick(
+            st, self.path, self.weights, jnp.asarray(np.asarray(x_phi_d), dtype)
+        )
+        jax.block_until_ready(new_state.phi)
+        t_comp = time.perf_counter() - t0
+
+        self._state = new_state
+        self.error_count = int(out.error_count)
+        self.phi_current = np.array([float(new_state.phi)])
+
+        if self.error_count >= self.N:
+            return None, None, None, None, None
+
+        traj = out.traj
+        q = np.asarray(traj.q).T  # (7, N) — reference layout
+        dq = np.asarray(traj.dq).T
+        ddq = np.asarray(traj.ddq).T
+        u = np.asarray(out.u)
+        # Cartesian pose trajectory (reference re-FKs the joint solution,
+        # compute_return_data :568-587)
+        pose = np.asarray(jax.vmap(kinematics.fk_pose)(traj.q)).T  # (6, N)
+        J = np.asarray(jax.vmap(kinematics.jacobian)(traj.q))
+        vel = np.einsum("kij,kj->ki", J, np.asarray(traj.dq)).T
+        dJ = np.asarray(jax.vmap(kinematics.djacobian)(traj.q, traj.dq))
+        acc = (np.einsum("kij,kj->ki", J, np.asarray(traj.ddq))
+               + np.einsum("kij,kj->ki", dJ, np.asarray(traj.dq))).T
+
+        traj_data = {
+            "p": pose, "v": vel, "a": acc,
+            "q": q, "dq": dq, "ddq": ddq, "dddq": u[:, :7].T,
+            "phi": np.asarray(traj.phi), "dphi": np.asarray(traj.dphi),
+            "ddphi": np.asarray(traj.ddphi), "dddphi": u[:, 7],
+        }
+
+        # Per-horizon reference / error series (the reference's log branch,
+        # compute_return_data :614-752)
+        ev = ocp.evaluate_stages(self.cfg, self.coeffs, out.params,
+                                 jnp.asarray(out.u))
+        ref_data = {
+            "p": list(np.asarray(ev.ref.p_d)),
+            "dp": list(np.asarray(ev.ref.dp_d)),
+            "dp_normed": list(np.asarray(ev.ref.dp_normed_d)),
+            "bound_lower": list(np.asarray(ev.ref.bound_lower)),
+            "bound_upper": list(np.asarray(ev.ref.bound_upper)),
+            "r_par_bound": list(np.asarray(ev.ref.r_par_bound)),
+            "e_p_off": list(np.asarray(ev.ref.e_p_off)),
+            "e_r_off": list(np.asarray(ev.ref.e_r_off)),
+            "bp1": list(np.asarray(ev.ref.bp1)),
+            "bp2": list(np.asarray(ev.ref.bp2)),
+            "br1": list(np.asarray(ev.ref.br1)),
+            "br2": list(np.asarray(ev.ref.br2)),
+        }
+        err_data = {
+            "e_p": list(np.asarray(ev.err.e_p)),
+            "de_p": list(np.asarray(ev.err.de_p)),
+            "e_p_par": list(np.asarray(ev.err.e_p_par)),
+            "e_p_orth": list(np.asarray(ev.err.e_p_orth)),
+            "e_r": list(np.asarray(ev.err.e_r)),
+            "de_r": list(np.asarray(ev.err.de_r)),
+            "e_r_par": list(np.asarray(ev.err.e_r_par)),
+            "e_r_orth1": list(np.asarray(ev.err.e_r_orth1)),
+            "e_r_orth2": list(np.asarray(ev.err.e_r_orth2)),
+        }
+        return traj_data, ref_data, err_data, t_comp, int(out.stats.iters)
