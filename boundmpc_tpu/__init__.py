@@ -9,4 +9,6 @@ scenario-parallel scaling over TPU device meshes.
 
 __version__ = "0.1.0"
 
-from . import lie, kinematics, jerkint, bounds  # noqa: F401
+from . import lie, kinematics, jerkint, bounds, path, ocp, solver, engine  # noqa: F401
+from . import jacobian, batch  # noqa: F401
+from .api import BoundMPC, MPCParams  # noqa: F401
