@@ -240,13 +240,23 @@ def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
     params = assemble_params(cfg, state, path, weights, x_phi_d)
 
     if solve_fn is None:
-        u_opt, stats = solver_mod.solve(cfg, scfg, coeffs, params, state.u_warm, limits)
+        # Warm-started ticks resume the mu continuation near the central
+        # path (Ipopt warm-start analog, see SolverConfig.mu_warm); a
+        # scenario recovering from a failed solve restarts cold.
+        mu0 = jnp.where(state.has_prev & (state.error_count == 0),
+                        scfg.mu_warm, scfg.mu_init)
+        u_opt, stats = solver_mod.solve(cfg, scfg, coeffs, params,
+                                        state.u_warm, limits, mu0=mu0)
     else:
         u_opt, stats = solve_fn(params, state.u_warm)
 
-    # Reference success criterion (BoundMPC.py:460-465): solver converged OR
-    # total constraint violation below 1e-4.
-    success = stats.converged | (stats.viol < 1e-4)
+    # Reference success criterion (BoundMPC.py:460-465): Ipopt-success OR
+    # total constraint violation below 1e-4.  Ipopt "success" implies
+    # feasibility to tolerance, whereas this solver's `converged` flag is
+    # only a small-step test — trusting it once let a stuck infeasible
+    # iterate (viol ~ 1e3) execute and diverge the closed loop.  The honest
+    # criterion is feasibility itself.
+    success = stats.viol < 1e-4
 
     # Fallback logic (BoundMPC.py:467-496): on failure replay the previous
     # (already shifted) plan; with no previous plan accept the infeasible

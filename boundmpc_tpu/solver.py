@@ -39,12 +39,31 @@ class SolverConfig(NamedTuple):
     ls_decay: float = 0.7
     armijo: float = 1e-4
     tol_step: float = 1e-8  # convergence: max |du|
-    # KKT step method: "qr" (stacked least squares — the production path) or
-    # "woodbury" (capped-weight Cholesky + low-rank active-set correction;
-    # pure matmuls but NOT robust: it diverges on experiment1's near-pi
-    # rotation segment when the active set exceeds k_active — kept for
-    # benchmarking only).
+    # KKT step method:
+    #   "qr"       — stacked least squares via Householder QR.  Most robust
+    #                (sees sqrt of the normal-equation condition number) but
+    #                XLA's batched QR is sequential over columns and slow on
+    #                TPU (~18 ms at B=256).
+    #   "pcg"      — capped-weight Cholesky preconditioner + matrix-free
+    #                preconditioned CG on the EXACT Newton system.  The
+    #                barrier weights above w_cap form a low-rank PSD
+    #                correction of the preconditioner, which CG removes in a
+    #                few matmul-only iterations — same step quality as "qr"
+    #                in closed loop at ~4x less wall time.  Production path.
+    #   "woodbury" — capped-weight Cholesky + fixed-rank active-set
+    #                correction; pure matmuls but NOT robust: it diverges on
+    #                experiment1's near-pi rotation segment when the active
+    #                set exceeds k_active — kept for benchmarking only.
     method: str = "qr"
+    pcg_iters: int = 8  # pcg: CG iterations after the preconditioner solve
+    # Barrier weight for warm-started receding-horizon re-solves (the mu
+    # continuation restart).  A cold solve must walk mu down from mu_init;
+    # a warm tick starts from the shifted previous optimum, which already
+    # sits on the central path at small mu — restarting at mu_init would
+    # pull it back into the interior and waste ~half the iterations.  This
+    # mirrors Ipopt's warm_start_init_point + small mu_init recipe
+    # (reference options BoundMPC.py:120-148).
+    mu_warm: float = 1e-4
     w_cap: float = 1e5  # woodbury: barrier-weight cap in the base Hessian
     k_active: int = 40  # woodbury: max extreme rows corrected exactly
     # Jacobian computation: "structured" (per-stage jacfwd + constant-map
@@ -59,11 +78,11 @@ class SolverConfig(NamedTuple):
     scale_constraints: bool = False
 
 
-# Preset for the float32 TPU runtime path: QR keeps the barrier system
-# solvable at delta=1e-7 (viol ~ 4e-6 in closed loop); the iteration cap
-# bounds p99 latency for warm-started receding-horizon ticks.
+# Preset for the float32 TPU runtime path: the PCG step keeps the barrier
+# system solvable at delta=1e-7 (viol ~ 1e-5 in closed loop); the iteration
+# cap bounds p99 latency for warm-started receding-horizon ticks.
 RUNTIME_F32 = SolverConfig(max_iters=16, delta=1e-7, reg=1e-6, tol_step=1e-5,
-                           scale_constraints=True)
+                           scale_constraints=True, method="pcg")
 
 
 class SolveStats(NamedTuple):
@@ -100,11 +119,16 @@ def _barrier_d2(z, delta):
 
 def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
           params: ocp.OcpParams, u0: jnp.ndarray,
-          limits: kinematics.RobotLimits):
+          limits: kinematics.RobotLimits, mu0=None):
     """Minimize the condensed OCP from warm start ``u0`` (N, 8).
 
     Returns (u_opt (N, 8), SolveStats).  Pure function of its inputs —
     `vmap` over (params, u0) for scenario batching, `jit` at the caller.
+
+    ``mu0`` (traced scalar, optional) overrides the static ``scfg.mu_init``
+    barrier start — the engine passes ``scfg.mu_warm`` on warm-started ticks
+    so the mu continuation resumes near the central path instead of
+    restarting from the interior (SolverConfig.mu_warm).
     """
     N, nu = cfg.N, cfg.nr_joints + 1
     n = N * nu
@@ -166,6 +190,58 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
             )
             Q, R = jnp.linalg.qr(A)
             du = -jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
+        elif scfg.method == "pcg":
+            # Matmul-only Newton step: Cholesky-factor the CAPPED-weight
+            # Hessian (float32-safe: kappa bounded by w_cap/reg) as a
+            # preconditioner, then run a few matrix-free preconditioned-CG
+            # iterations on the EXACT system H du = -g.  The rows whose
+            # barrier weight exceeds w_cap (the near-active set) form a
+            # low-rank PSD correction H - Hm = Jc_hi^T (w-w_cap) Jc_hi, so
+            # M^-1 H has a cluster at 1 plus a handful of isolated large
+            # eigenvalues — exactly the spectrum CG removes in ~rank
+            # iterations, with no fixed k_active cap to overflow (the
+            # failure mode of the "woodbury" method).
+            w_capped = jnp.minimum(w, scfg.w_cap)
+            Hm = 2.0 * (Jr.T @ Jr) + (Jc.T * w_capped[None, :]) @ Jc
+            Hm = Hm + scfg.reg * jnp.eye(n, dtype=dtype)
+            L = jnp.linalg.cholesky(Hm)
+            # Explicit preconditioner inverse: two batched triangular solves
+            # once, then every CG iteration applies M^-1 as one matmul (MXU)
+            # instead of two sequential triangular solves.
+            Minv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(n, dtype=dtype))
+
+            def Hmul(p):
+                return (2.0 * (Jr.T @ (Jr @ p)) + Jc.T @ (w * (Jc @ p))
+                        + scfg.reg * p)
+
+            x0 = -(Minv @ g)
+            r0 = -g - Hmul(x0)
+            z0 = Minv @ r0
+            tiny = jnp.asarray(1e-30, dtype)
+
+            def pcg_body(carry, _):
+                x, rr, z, p, rz = carry
+                Hp = Hmul(p)
+                denom = jnp.dot(p, Hp)
+                alpha = rz / jnp.where(jnp.abs(denom) > tiny, denom, tiny)
+                alpha = jnp.where(denom > 0.0, alpha, 0.0)  # SPD guard
+                x = x + alpha * p
+                rr = rr - alpha * Hp
+                z = Minv @ rr
+                rz_new = jnp.dot(rr, z)
+                beta = rz_new / jnp.where(jnp.abs(rz) > tiny, rz, tiny)
+                p = z + beta * p
+                return (x, rr, z, p, rz_new), None
+
+            carry0 = (x0, r0, z0, z0, jnp.dot(r0, z0))
+            (x_cg, r_cg, _, _, _), _ = jax.lax.scan(
+                pcg_body, carry0, None, length=scfg.pcg_iters)
+            # float32 CG on a kappa ~ 1e14 system can stall or lose
+            # orthogonality; keep the CG refinement only if it actually
+            # reduced the true residual, else fall back to the (always
+            # descent-safe) preconditioner step x0.
+            cg_better = jnp.linalg.norm(r_cg) < jnp.linalg.norm(r0)
+            du = jnp.where(cg_better & jnp.all(jnp.isfinite(x_cg)), x_cg, x0)
         else:
             # Matmul-only step: cap the barrier weights so the base Hessian
             # is float32-Cholesky-safe (kappa ~ w_cap * |Jc row|^2 / reg),
@@ -216,17 +292,29 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
 
         u_new = jnp.where(improved, u + alpha * du, u)
         step_inf = jnp.where(improved, jnp.max(jnp.abs(alpha * du)), 0.0)
-        mu_new = jnp.maximum(mu * scfg.mu_decay, scfg.mu_min)
+        # mu continuation: decay on an accepted step; on a wholesale line
+        # search failure BACK OFF one continuation step instead (re-centering
+        # the barrier is the standard escape from a stuck non-descent model
+        # — without this, a failed search at final mu would satisfy the
+        # small-step test below and declare a stuck infeasible point
+        # "converged", which is exactly how the f32 path silently diverged
+        # at the end of experiment1's path).
+        mu_new = jnp.where(
+            improved,
+            jnp.maximum(mu * scfg.mu_decay, scfg.mu_min),
+            jnp.minimum(mu / scfg.mu_decay, scfg.mu_init),
+        )
         at_final_mu = mu <= scfg.mu_min * 1.0001
-        done = at_final_mu & (step_inf < scfg.tol_step)
+        done = at_final_mu & improved & (step_inf < scfg.tol_step)
         return _LoopState(u_new, mu_new, st.k + 1, done, step_inf)
 
     def cond(st: _LoopState):
         return (~st.done) & (st.k < scfg.max_iters)
 
+    mu_start = jnp.asarray(scfg.mu_init if mu0 is None else mu0, dtype)
     init = _LoopState(
         u=u0.reshape(-1).astype(dtype),
-        mu=jnp.asarray(scfg.mu_init, dtype),
+        mu=mu_start,
         k=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         last_step=jnp.asarray(jnp.inf, dtype),
