@@ -175,6 +175,12 @@ class BoundMPC:
             "ddphi": np.asarray(traj.ddphi), "dddphi": u[:, 7],
         }
 
+        # real_time gating: the reference computes the log-only reference /
+        # error series only when not running real-time (BoundMPC.py:47
+        # `self.log = not params.real_time`, :613 `if self.log:`).
+        if self.params.real_time:
+            return traj_data, None, None, t_comp, int(out.stats.iters)
+
         # Per-horizon reference / error series (the reference's log branch,
         # compute_return_data :614-752)
         ev = ocp.evaluate_stages(self.cfg, self.coeffs, out.params,
@@ -182,6 +188,9 @@ class BoundMPC:
         ref_data = {
             "p": list(np.asarray(ev.ref.p_d)),
             "dp": list(np.asarray(ev.ref.dp_d)),
+            # piecewise-linear reference: ddp_d == 0 identically
+            # (bound_mpc_functions.py reference_function ddp_lin)
+            "ddp": [np.zeros(6) for _ in range(self.N)],
             "dp_normed": list(np.asarray(ev.ref.dp_normed_d)),
             "bound_lower": list(np.asarray(ev.ref.bound_lower)),
             "bound_upper": list(np.asarray(ev.ref.bound_upper)),
@@ -192,16 +201,73 @@ class BoundMPC:
             "bp2": list(np.asarray(ev.ref.bp2)),
             "br1": list(np.asarray(ev.ref.br1)),
             "br2": list(np.asarray(ev.ref.br2)),
+            "v1": list(np.asarray(ev.ref.v1)),
+            "v2": list(np.asarray(ev.ref.v2)),
+            "v3": list(np.asarray(ev.ref.v3)),
         }
         err_data = {
             "e_p": list(np.asarray(ev.err.e_p)),
             "de_p": list(np.asarray(ev.err.de_p)),
             "e_p_par": list(np.asarray(ev.err.e_p_par)),
             "e_p_orth": list(np.asarray(ev.err.e_p_orth)),
+            "de_p_par": list(np.asarray(ev.err.de_p_par)),
+            "de_p_orth": list(np.asarray(ev.err.de_p_orth)),
             "e_r": list(np.asarray(ev.err.e_r)),
             "de_r": list(np.asarray(ev.err.de_r)),
             "e_r_par": list(np.asarray(ev.err.e_r_par)),
             "e_r_orth1": list(np.asarray(ev.err.e_r_orth1)),
             "e_r_orth2": list(np.asarray(ev.err.e_r_orth2)),
         }
+        self._correct_logged_rotation_reference(
+            ref_data, err_data, out, np.asarray(traj.phi), pose)
         return traj_data, ref_data, err_data, t_comp, int(out.stats.iters)
+
+    def _correct_logged_rotation_reference(self, ref_data, err_data, out,
+                                           phis, pose):
+        """Replace the linearized logged e_r with the exact Lie-space error
+        against the per-stage integrated rotation reference, advancing the
+        reference across horizon segment switches — the reference's
+        'Update ref data to correct rotation reference' block
+        (BoundMPC.py:646-752).  The logged ref pose's rotation part becomes
+        the integrated rotation reference rather than the path's integrated
+        omega coordinates."""
+        from scipy.spatial.transform import Rotation as R
+
+        # np.array copies: scipy Rotation rejects the read-only views that
+        # np.asarray returns for jax buffers.
+        phi_sw = np.array(out.params.phi_switch)
+        dp_ref_w = np.array(out.params.dp_ref)  # (nr_segs, 6)
+        sector = int(self._state.sector)
+        via_rotvec = np.array(self.path.via_rotvec)
+        pose = np.array(pose)
+
+        def integ(pr, dr, lo, hi):
+            rot = R.from_rotvec(dr * (hi - lo)).as_matrix()
+            return R.from_matrix(rot @ R.from_rotvec(pr).as_matrix()).as_rotvec()
+
+        # self._state is the post-tick state: pr_ref is already advanced to
+        # the stage-0 phi (engine rotation-reference advance).
+        pr_ref = np.array(self._state.pr_ref)
+        for i in range(self.N):
+            ref_data["p"][i] = np.concatenate(
+                [np.asarray(ref_data["p"][i][:3]), pr_ref])
+            tauc = R.from_rotvec(pose[3:, i]).as_matrix()
+            taud = R.from_rotvec(pr_ref).as_matrix()
+            err_data["e_r"][i] = R.from_matrix(tauc @ taud.T).as_rotvec()
+            if i == self.N - 1:
+                break
+            phi, phi_next = phis[i], phis[i + 1]
+            # Advance across at most the two upcoming switches the reference
+            # window tracks (BoundMPC.py:711-733).
+            if phi_next > phi_sw[1] and phi < phi_sw[1]:
+                nxt = via_rotvec[min(sector + 1, via_rotvec.shape[0] - 1)]
+                pr_ref = integ(nxt, dp_ref_w[1, 3:], phi_sw[1], phi_next)
+            elif phi_next > phi_sw[2] and phi < phi_sw[2]:
+                nxt = via_rotvec[min(sector + 2, via_rotvec.shape[0] - 1)]
+                pr_ref = integ(nxt, dp_ref_w[2, 3:], phi_sw[2], phi_next)
+            elif phi_next > phi_sw[2]:
+                pr_ref = integ(pr_ref, dp_ref_w[2, 3:], phi, phi_next)
+            elif phi_next > phi_sw[1]:
+                pr_ref = integ(pr_ref, dp_ref_w[1, 3:], phi, phi_next)
+            else:
+                pr_ref = integ(pr_ref, dp_ref_w[0, 3:], phi, phi_next)

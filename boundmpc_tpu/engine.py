@@ -51,8 +51,13 @@ class EngineState(NamedTuple):
     iw_ref: jnp.ndarray  # (3,)
     # Window position
     sector: jnp.ndarray  # () int32
-    # Warm start / fallback
-    u_warm: jnp.ndarray  # (N, 8) shifted previous plan
+    # Warm start (solver initial guess) and safe fallback plan.  These are
+    # distinct roles: u_warm chains from the freshest sane solve (even a
+    # gate-failing near-feasible one) so recovery compounds across ticks,
+    # while u_safe only ever holds gated-successful plans and is what a
+    # failing tick EXECUTES (the reference's prev_solution, BoundMPC.py:467-496).
+    u_warm: jnp.ndarray  # (N, 8) solver initial guess
+    u_safe: jnp.ndarray  # (N, 8) shifted last accepted plan
     has_prev: jnp.ndarray  # () bool
     error_count: jnp.ndarray  # () int32
     dead: jnp.ndarray  # () bool — N consecutive failures (BoundMPC.py:498)
@@ -85,6 +90,7 @@ def init_state(cfg: ocp.OcpConfig, q0: jnp.ndarray, dtype=jnp.float32) -> Engine
         pr_ref=pose0[3:], iw_ref=jnp.zeros(3, dtype),
         sector=jnp.zeros((), jnp.int32),
         u_warm=u_warm0,
+        u_safe=u_warm0,
         has_prev=jnp.asarray(False),
         error_count=jnp.zeros((), jnp.int32),
         dead=jnp.asarray(False),
@@ -116,9 +122,25 @@ def replan_state(cfg: ocp.OcpConfig, state: EngineState, new_path: PathData
 
     dp0 = new_path.seg_dp[0]
     phi_new = jnp.dot(pose[:3] - new_path.seg_p0[0], dp0)
-    dphi_new = jnp.dot(v[:3], dp0)
-    ddphi_new = jnp.dot(a[:3], dp0)
-    dddphi_new = jnp.dot(j_cart[:3], dp0)
+    # Clamp the projected phi into the first segment, matching the
+    # reference's warm-start re-projection clamp to [0, phi_switch-0.01]
+    # (BoundMPC.py:349-364).  Without it, replanning from a pose slightly
+    # behind the new path start yields phi0 < 0, which violates the phi >= 0
+    # constraint from the first stage and wedges the solver permanently.
+    seg0_len = new_path.seg_len[0]
+    phi_new = jnp.clip(phi_new, 0.0, jnp.maximum(seg0_len - 0.01, 0.0))
+    # The reference projects the Cartesian velocity/acceleration/jerk onto
+    # the new direction unclamped (:204-210), which makes phi >= 0 *hard
+    # infeasible* for several ticks whenever the current motion opposes the
+    # new path (dphi0 < 0 cannot be braked within one step under the jerk
+    # box) — its own Ipopt would fail those solves.  The path parameter is a
+    # virtual progress variable that must never run backward, so a
+    # motion-opposing replan restarts the parameter at rest instead.
+    dphi_proj = jnp.dot(v[:3], dp0)
+    fwd = dphi_proj > 0.0
+    dphi_new = jnp.where(fwd, dphi_proj, 0.0)
+    ddphi_new = jnp.where(fwd, jnp.dot(a[:3], dp0), 0.0)
+    dddphi_new = jnp.where(fwd, jnp.dot(j_cart[:3], dp0), 0.0)
 
     pr_ref = lie.integrate_rotation_reference(
         new_path.via_rotvec[0], new_path.seg_dr[0], jnp.zeros_like(phi_new),
@@ -132,6 +154,13 @@ def replan_state(cfg: ocp.OcpConfig, state: EngineState, new_path: PathData
         pr_ref=pr_ref, iw_ref=iw_ref,
         sector=jnp.zeros_like(state.sector),
         u_warm=u_warm,
+        u_safe=u_warm,
+        # The old-path plan is not a valid fallback on the new path: marking
+        # it absent routes a failed first post-replan solve into the
+        # reference's "first-ever failure: use the infeasible solution"
+        # branch (BoundMPC.py:479-489), which actively brakes toward
+        # feasibility instead of replaying a stale plan.
+        has_prev=jnp.asarray(False),
         error_count=jnp.zeros_like(state.error_count),
     )
 
@@ -250,22 +279,33 @@ def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
     else:
         u_opt, stats = solve_fn(params, state.u_warm)
 
-    # Reference success criterion (BoundMPC.py:460-465): Ipopt-success OR
-    # total constraint violation below 1e-4.  Ipopt "success" implies
-    # feasibility to tolerance, whereas this solver's `converged` flag is
-    # only a small-step test — trusting it once let a stuck infeasible
-    # iterate (viol ~ 1e3) execute and diverge the closed loop.  The honest
-    # criterion is feasibility itself.
-    success = stats.viol < 1e-4
+    # Two-clause success criterion, mirroring the reference's
+    # "Ipopt-success OR total violation < 1e-4" (BoundMPC.py:460-465).
+    # The solver's `converged` flag alone is only a small-step test and must
+    # not be trusted on its own (a stuck infeasible iterate with viol ~ 1e3
+    # once diverged the closed loop that way); it counts only when the
+    # iterate is also near-feasible — the analog of Ipopt declaring success
+    # at its own constraint tolerance.
+    success = (stats.viol < 1e-4) | (stats.converged & (stats.viol < 1e-3))
 
-    # Fallback logic (BoundMPC.py:467-496): on failure replay the previous
-    # (already shifted) plan; with no previous plan accept the infeasible
-    # solution ("first-ever failure" branch).
+    # Fallback logic (BoundMPC.py:467-496): on failure EXECUTE the previous
+    # accepted (already shifted) safe plan; with no previous plan accept the
+    # infeasible solution ("first-ever failure" branch).
     use_opt = success | (~state.has_prev)
-    u_used = jnp.where(use_opt, u_opt, state.u_warm)
+    u_used = jnp.where(use_opt, u_opt, state.u_safe)
     error_count = jnp.where(success, 0, state.error_count + 1)
     error_count = jnp.where(success | state.has_prev, error_count, 0)
     dead = state.dead | (error_count >= cfg.N)
+
+    # Warm-start policy: the NEXT tick's solver guess chains from the fresh
+    # solve whenever it is sane (near-feasible), even when it failed the
+    # execution gate — recovery from a replan shock then compounds across
+    # ticks instead of restarting from the ever-staler shifted fallback.
+    # The EXECUTED fallback stays u_safe: gate-failing plans are never
+    # executed (the round-1 bug that chained them through u_warm drove the
+    # plant along infeasible plans).
+    u_warm_next = jnp.where(use_opt | (stats.viol < 1.0), u_opt, u_used)
+    u_safe_next = jnp.where(use_opt, u_opt, state.u_safe)
 
     # The executed trajectory is exact by construction — no post-solve
     # re-integration needed (reference must re-integrate, BoundMPC.py:526-555).
@@ -297,7 +337,8 @@ def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
         dddphi=u_used[0, cfg.nr_joints],
         pr_ref=pr_ref_new, iw_ref=iw_ref_new,
         sector=sector,
-        u_warm=_shift_plan(u_used),
+        u_warm=_shift_plan(u_warm_next),
+        u_safe=_shift_plan(u_safe_next),
         has_prev=jnp.asarray(True),
         error_count=error_count,
         dead=dead,

@@ -126,12 +126,18 @@ def build_path(
             d = dp[-1].copy() if i > 0 else np.array([0.0, 1.0, 0.0], dtype=dtype)
         dp.append(d)
 
-    # Arc lengths; pure-rotation segments get |dr| / pi.
+    # Arc lengths; pure-rotation segments get |dr| / pi
+    # (ReferencePath.py:92-99).  Fully degenerate segments (no translation
+    # AND no rotation, e.g. the default hold-in-place path of
+    # path_utils.get_default_path) get a tiny positive length: the reference
+    # divides 0/0 into NaN dr there; a 1e-3 floor keeps the hold path
+    # well-defined with the same behavior (robot holds pose, path completes
+    # immediately).
     seg_len = []
     for i in range(n_real):
         li = np.linalg.norm(p[i + 1] - p[i])
         if li < 1e-3:
-            li = np.linalg.norm(dr_raw[i]) / np.pi
+            li = max(np.linalg.norm(dr_raw[i]) / np.pi, 1e-3)
         seg_len.append(li)
     phi_max = float(np.sum(seg_len)) + phi_bias
 

@@ -21,6 +21,7 @@ def enable_compilation_cache(path: str = "/tmp/boundmpc_xla_cache") -> None:
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-from .scenarios import Scenario, experiment1, experiment2, default_weights, random_scenario  # noqa: F401,E402
+from .scenarios import (Scenario, experiment1, experiment2, default_weights,  # noqa: F401,E402
+                        default_path, random_scenario)
 from .runner import ClosedLoopRunner, RunLog  # noqa: F401,E402
 from .fleet import FleetRunner, FleetStats  # noqa: F401,E402

@@ -163,6 +163,34 @@ def experiment2() -> Scenario:
     )
 
 
+def default_path(q0: np.ndarray | None = None, nr_segs: int = 2) -> Scenario:
+    """The reference's default degenerate hold-in-place path —
+    utils/path_utils.get_default_path (:4-39): nr_segs copies of the current
+    pose as via points with wide-open bounds.  Used by the reference node as
+    the pre-trajectory placeholder; useful here as a rest/hold scenario."""
+    q0 = np.zeros(7) if q0 is None else np.asarray(q0, float)
+    pose0 = np.array(kin.fk_pose(jnp.asarray(q0)))
+    p0 = pose0[:3]
+    r0 = R.from_rotvec(pose0[3:]).as_matrix()
+
+    n_via = max(nr_segs, 2)
+    ones = [np.array([1.0, 1.0]) for _ in range(n_via)]
+    neg = [np.array([-1.0, -1.0]) for _ in range(n_via)]
+    bz = [np.array([0.0, 0.0, 1.0]) for _ in range(n_via)]
+    return Scenario(
+        name="default-path",
+        q0=q0,
+        p_via=[p0.copy() for _ in range(n_via)],
+        r_via=[r0.copy() for _ in range(n_via)],
+        p_lower=neg, p_upper=ones,
+        r_lower=[v.copy() for v in neg], r_upper=[v.copy() for v in ones],
+        bp1=bz, br1=[v.copy() for v in bz],
+        s=0.0, e_p_min=0.01, e_r_min=15 * np.pi / 180,
+        e_p_max=0.2, e_r_max=45 * np.pi / 180,
+        nr_segs=nr_segs,
+    )
+
+
 def random_scenario(rng: np.random.Generator, n_via: int = 5,
                     base: str = "experiment1") -> Scenario:
     """Randomized via-point variation of a named scenario (for batched

@@ -34,28 +34,39 @@ class SolverConfig(NamedTuple):
     mu_min: float = 1e-6
     mu_decay: float = 0.4
     delta: float = 1e-7  # barrier relaxation threshold
-    reg: float = 1e-7  # Levenberg regularization of the GN Hessian
+    reg: float = 1e-7  # minimum Levenberg damping of the GN Hessian
+    # Adaptive Levenberg-Marquardt damping.  Deep infeasibility (e.g. right
+    # after a replan) turns the relaxed barrier into a ~mu/delta^2-weighted
+    # quadratic penalty whose exact Newton step is far outside the constraint
+    # linearization's validity ball — a fixed-reg solver then crawls at
+    # alpha ~ 0.01 per backtracked step (measured: ~2%/iter violation
+    # reduction in f64).  Carrying the damping in the loop state and adapting
+    # it from line-search outcomes auto-scales the step to the trusted ball,
+    # the same role Ipopt's filter + inertia correction play (BoundMPC.py
+    # options :120-148).
+    reg_max: float = 1e6
+    reg_grow: float = 10.0
+    reg_shrink: float = 1.0 / 3.0
     n_ls: int = 14  # line-search candidates alpha = 0.7^k
     ls_decay: float = 0.7
     armijo: float = 1e-4
     tol_step: float = 1e-8  # convergence: max |du|
     # KKT step method:
-    #   "qr"       — stacked least squares via Householder QR.  Most robust
-    #                (sees sqrt of the normal-equation condition number) but
-    #                XLA's batched QR is sequential over columns and slow on
-    #                TPU (~18 ms at B=256).
-    #   "pcg"      — capped-weight Cholesky preconditioner + matrix-free
-    #                preconditioned CG on the EXACT Newton system.  The
-    #                barrier weights above w_cap form a low-rank PSD
-    #                correction of the preconditioner, which CG removes in a
-    #                few matmul-only iterations — same step quality as "qr"
-    #                in closed loop at ~4x less wall time.  Production path.
-    #   "woodbury" — capped-weight Cholesky + fixed-rank active-set
-    #                correction; pure matmuls but NOT robust: it diverges on
-    #                experiment1's near-pi rotation segment when the active
-    #                set exceeds k_active — kept for benchmarking only.
+    #   "qr"       — stacked weighted least squares via Householder QR.  The
+    #                barrier curvature spans ~1e12 in weight, so the normal
+    #                equations have condition ~1e11-1e13 — far beyond float32
+    #                Cholesky; QR sees only the SQUARE ROOT of that, which is
+    #                what makes an exact Newton step computable in float32 on
+    #                TPU.  The ONLY method validated convergent on-chip in
+    #                closed loop — the production path.
+    #   "woodbury" — capped-weight Cholesky + rank-k active-set correction.
+    #                Matmul-only and exact in f64, but NOT f32-robust: the
+    #                k x k correction system inherits near-collinear active
+    #                rows (adjacent-stage bounds) whose tiny 1/dw
+    #                regularization underflows the f32 solve — measured
+    #                divergence on-chip at k_active 40 AND 128.  Kept for
+    #                benchmarking/f64 only.
     method: str = "qr"
-    pcg_iters: int = 8  # pcg: CG iterations after the preconditioner solve
     # Barrier weight for warm-started receding-horizon re-solves (the mu
     # continuation restart).  A cold solve must walk mu down from mu_init;
     # a warm tick starts from the shifted previous optimum, which already
@@ -78,11 +89,14 @@ class SolverConfig(NamedTuple):
     scale_constraints: bool = False
 
 
-# Preset for the float32 TPU runtime path: the PCG step keeps the barrier
-# system solvable at delta=1e-7 (viol ~ 1e-5 in closed loop); the iteration
-# cap bounds p99 latency for warm-started receding-horizon ticks.
+# Preset for the float32 TPU runtime path.  method="qr" is the only step
+# method measured convergent on-chip in closed loop (experiments/debug_f32.py:
+# 30+ ticks at B=16/B=256, success 1.0, viol <= 1e-4); scale_constraints
+# homogenizes the squared bound rows so the f32 barrier stays conditioned in
+# corridor scenarios; the iteration cap bounds p99 latency for warm-started
+# receding-horizon ticks.
 RUNTIME_F32 = SolverConfig(max_iters=16, delta=1e-7, reg=1e-6, tol_step=1e-5,
-                           scale_constraints=True, method="pcg")
+                           scale_constraints=True, method="qr")
 
 
 class SolveStats(NamedTuple):
@@ -95,6 +109,7 @@ class SolveStats(NamedTuple):
 class _LoopState(NamedTuple):
     u: jnp.ndarray  # (n,) flat decision vector
     mu: jnp.ndarray  # () barrier weight
+    reg: jnp.ndarray  # () adaptive Levenberg damping
     k: jnp.ndarray  # () iteration counter
     done: jnp.ndarray  # () bool
     last_step: jnp.ndarray  # () max |du| of last accepted step
@@ -152,7 +167,7 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         lmaps = jmod.linear_maps(cfg, dtype)
 
     def step(st: _LoopState) -> _LoopState:
-        u, mu = st.u, st.mu
+        u, mu, reg = st.u, st.mu, st.reg
         if scfg.jac == "structured":
             r, c, Jr, Jc = jmod.residuals_constraints_and_jacobians(
                 cfg, coeffs, lmaps, params, u.reshape(N, nu), limits,
@@ -183,65 +198,13 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
             sq2 = jnp.sqrt(jnp.asarray(2.0, dtype))
             A = jnp.concatenate(
                 [sq2 * Jr, sqw[:, None] * Jc,
-                 jnp.sqrt(scfg.reg) * jnp.eye(n, dtype=dtype)], axis=0
+                 jnp.sqrt(reg) * jnp.eye(n, dtype=dtype)], axis=0
             )
             b = jnp.concatenate(
                 [sq2 * r, -rho, jnp.zeros(n, dtype)], axis=0
             )
             Q, R = jnp.linalg.qr(A)
             du = -jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
-        elif scfg.method == "pcg":
-            # Matmul-only Newton step: Cholesky-factor the CAPPED-weight
-            # Hessian (float32-safe: kappa bounded by w_cap/reg) as a
-            # preconditioner, then run a few matrix-free preconditioned-CG
-            # iterations on the EXACT system H du = -g.  The rows whose
-            # barrier weight exceeds w_cap (the near-active set) form a
-            # low-rank PSD correction H - Hm = Jc_hi^T (w-w_cap) Jc_hi, so
-            # M^-1 H has a cluster at 1 plus a handful of isolated large
-            # eigenvalues — exactly the spectrum CG removes in ~rank
-            # iterations, with no fixed k_active cap to overflow (the
-            # failure mode of the "woodbury" method).
-            w_capped = jnp.minimum(w, scfg.w_cap)
-            Hm = 2.0 * (Jr.T @ Jr) + (Jc.T * w_capped[None, :]) @ Jc
-            Hm = Hm + scfg.reg * jnp.eye(n, dtype=dtype)
-            L = jnp.linalg.cholesky(Hm)
-            # Explicit preconditioner inverse: two batched triangular solves
-            # once, then every CG iteration applies M^-1 as one matmul (MXU)
-            # instead of two sequential triangular solves.
-            Minv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(n, dtype=dtype))
-
-            def Hmul(p):
-                return (2.0 * (Jr.T @ (Jr @ p)) + Jc.T @ (w * (Jc @ p))
-                        + scfg.reg * p)
-
-            x0 = -(Minv @ g)
-            r0 = -g - Hmul(x0)
-            z0 = Minv @ r0
-            tiny = jnp.asarray(1e-30, dtype)
-
-            def pcg_body(carry, _):
-                x, rr, z, p, rz = carry
-                Hp = Hmul(p)
-                denom = jnp.dot(p, Hp)
-                alpha = rz / jnp.where(jnp.abs(denom) > tiny, denom, tiny)
-                alpha = jnp.where(denom > 0.0, alpha, 0.0)  # SPD guard
-                x = x + alpha * p
-                rr = rr - alpha * Hp
-                z = Minv @ rr
-                rz_new = jnp.dot(rr, z)
-                beta = rz_new / jnp.where(jnp.abs(rz) > tiny, rz, tiny)
-                p = z + beta * p
-                return (x, rr, z, p, rz_new), None
-
-            carry0 = (x0, r0, z0, z0, jnp.dot(r0, z0))
-            (x_cg, r_cg, _, _, _), _ = jax.lax.scan(
-                pcg_body, carry0, None, length=scfg.pcg_iters)
-            # float32 CG on a kappa ~ 1e14 system can stall or lose
-            # orthogonality; keep the CG refinement only if it actually
-            # reduced the true residual, else fall back to the (always
-            # descent-safe) preconditioner step x0.
-            cg_better = jnp.linalg.norm(r_cg) < jnp.linalg.norm(r0)
-            du = jnp.where(cg_better & jnp.all(jnp.isfinite(x_cg)), x_cg, x0)
         else:
             # Matmul-only step: cap the barrier weights so the base Hessian
             # is float32-Cholesky-safe (kappa ~ w_cap * |Jc row|^2 / reg),
@@ -253,7 +216,7 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
             # inner k x k system stays well-conditioned because dW^-1 -> 0.
             w_capped = jnp.minimum(w, scfg.w_cap)
             Hm = 2.0 * (Jr.T @ Jr) + (Jc.T * w_capped[None, :]) @ Jc
-            Hm = Hm + scfg.reg * jnp.eye(n, dtype=dtype)
+            Hm = Hm + reg * jnp.eye(n, dtype=dtype)
             L = jnp.linalg.cholesky(Hm)
 
             dw = jnp.maximum(w - scfg.w_cap, 0.0)
@@ -292,21 +255,38 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
 
         u_new = jnp.where(improved, u + alpha * du, u)
         step_inf = jnp.where(improved, jnp.max(jnp.abs(alpha * du)), 0.0)
-        # mu continuation: decay on an accepted step; on a wholesale line
-        # search failure BACK OFF one continuation step instead (re-centering
-        # the barrier is the standard escape from a stuck non-descent model
-        # — without this, a failed search at final mu would satisfy the
-        # small-step test below and declare a stuck infeasible point
-        # "converged", which is exactly how the f32 path silently diverged
-        # at the end of experiment1's path).
+
+        # Levenberg-Marquardt damping adaptation (see SolverConfig.reg_max):
+        # a (near-)full accepted step means the local model is trusted —
+        # relax the damping; an accepted-but-heavily-backtracked or rejected
+        # step means the Newton step overshot the linearization — tighten it
+        # so the next step comes out pre-scaled instead of being rescued by
+        # the line search at alpha ~ 0.01.
+        full_step = improved & (alpha >= 0.3)
+        tiny_step = improved & (alpha < 0.05)
+        reg_new = jnp.where(
+            full_step, jnp.maximum(reg * scfg.reg_shrink, scfg.reg), reg)
+        reg_new = jnp.where(
+            tiny_step | ~improved,
+            jnp.minimum(reg * scfg.reg_grow, scfg.reg_max), reg_new)
+
+        # mu continuation: decay toward mu_min only on accepted steps.  (A
+        # failed line search no longer backs mu off — growing the damping is
+        # the escape from an untrusted model, and it cannot un-converge the
+        # barrier the way re-raising mu did.)
         mu_new = jnp.where(
-            improved,
-            jnp.maximum(mu * scfg.mu_decay, scfg.mu_min),
-            jnp.minimum(mu / scfg.mu_decay, scfg.mu_init),
-        )
+            improved, jnp.maximum(mu * scfg.mu_decay, scfg.mu_min), mu)
         at_final_mu = mu <= scfg.mu_min * 1.0001
-        done = at_final_mu & improved & (step_inf < scfg.tol_step)
-        return _LoopState(u_new, mu_new, st.k + 1, done, step_inf)
+        # Converged at final mu when an accepted step fell below tolerance,
+        # or when the DAMPED NEWTON step itself is below tolerance (a
+        # warm-started solve that starts at the optimum has no strictly
+        # improving candidate, so gating `done` on `improved` alone would
+        # burn all max_iters there).
+        du_inf = jnp.max(jnp.abs(du))
+        done = at_final_mu & (
+            (du_inf < scfg.tol_step) | (improved & (step_inf < scfg.tol_step))
+        )
+        return _LoopState(u_new, mu_new, reg_new, st.k + 1, done, step_inf)
 
     def cond(st: _LoopState):
         return (~st.done) & (st.k < scfg.max_iters)
@@ -315,6 +295,7 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
     init = _LoopState(
         u=u0.reshape(-1).astype(dtype),
         mu=mu_start,
+        reg=jnp.asarray(scfg.reg, dtype),
         k=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         last_step=jnp.asarray(jnp.inf, dtype),

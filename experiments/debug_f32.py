@@ -1,0 +1,68 @@
+"""Diagnose the RUNTIME_F32 production-path divergence (VERDICT item 1).
+
+Runs the exact bench configuration tick-by-tick and prints per-tick
+success-rate / max-violation, plus identifies the first diverging scenario.
+
+Usage:
+    JAX_PLATFORMS=cpu python experiments/debug_f32.py [--method pcg] [--B 16]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--B", type=int, default=16)
+    ap.add_argument("--ticks", type=int, default=50)
+    ap.add_argument("--method", default=None, help="override solver method")
+    ap.add_argument("--max-iters", type=int, default=None)
+    ap.add_argument("--k", type=int, default=None, help="override k_active")
+    ap.add_argument("--platform", default=None, help="cpu to force local CPU")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    from boundmpc_tpu import batch, ocp, solver as solver_mod
+    from __graft_entry__ import _build_batch
+
+    cfg = ocp.OcpConfig()
+    scfg = solver_mod.RUNTIME_F32
+    if args.method:
+        scfg = scfg._replace(method=args.method)
+    if args.max_iters:
+        scfg = scfg._replace(max_iters=args.max_iters)
+    if args.k:
+        scfg = scfg._replace(k_active=args.k)
+    print(f"platform={jax.devices()[0].platform} scfg={scfg}", flush=True)
+
+    B = args.B
+    states, paths, weights, x_phi_d = _build_batch(B, cfg)
+    tick_b = batch.make_batched_tick(cfg, scfg, dtype=jnp.float32, donate=False)
+
+    first_bad = None
+    for t in range(args.ticks):
+        states, out = tick_b(states, paths, weights, x_phi_d)
+        jax.block_until_ready(states.phi)
+        succ = np.asarray(out.success)
+        viol = np.asarray(out.stats.viol)
+        iters = np.asarray(out.stats.iters)
+        conv = np.asarray(out.stats.converged)
+        phi = np.asarray(states.phi)
+        print(f"tick {t:3d}: success {succ.mean():.3f}  max_viol {viol.max():.3e}"
+              f"  med_iters {np.median(iters):.0f}  conv {conv.mean():.2f}"
+              f"  mean_phi {phi.mean():.3f}", flush=True)
+        if first_bad is None and not succ.all():
+            first_bad = (t, np.where(~succ)[0])
+            print(f"  FIRST FAILURES at tick {t}: scenarios {first_bad[1][:10]}"
+                  f"  viols {viol[first_bad[1][:10]]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,8 @@ def main():
     else:
         runner = ClosedLoopRunner(sc)
 
+    if args.ticks <= 0:
+        ap.error("--ticks must be positive")
     log = runner.run(max_ticks=args.ticks, verbose=args.verbose)
 
     if args.telemetry:

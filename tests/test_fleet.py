@@ -9,7 +9,10 @@ from boundmpc_tpu.runtime import FleetRunner, experiment1, random_scenario
 def _fleet(B=4, **kw):
     rng = np.random.default_rng(3)
     scs = [experiment1()] + [random_scenario(rng) for _ in range(B - 1)]
-    return FleetRunner(scs, solver_cfg=solver_mod.SolverConfig(max_iters=6),
+    # 12 iterations: enough for the mu continuation to reach mu_min from a
+    # cold start (ceil(log(mu_min/mu_init)/log(mu_decay)) ~ 10); the round-1
+    # value of 6 could not converge cold ticks and flaked at viol ~ 1.6e-4.
+    return FleetRunner(scs, solver_cfg=solver_mod.SolverConfig(max_iters=12),
                        **kw)
 
 

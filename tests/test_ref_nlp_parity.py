@@ -1,0 +1,81 @@
+"""Parity against the REFERENCE-FORMULATION stage NLP (f64 SLSQP).
+
+parity/oracle.py solves the builder's own condensed formulation — a
+self-consistency check that cannot catch a formulation bug.  RefNlpSolver
+rebuilds the NLP the way the reference writes it (440 stage variables, 36
+dynamics equalities per stage, casadi_ocp_formulation.py:88-357) and is
+compared against the condensed Gauss-Newton solver here.
+
+The stage NLP costs minutes per cold SLSQP solve, so the single-solve tests
+warm-start SLSQP *from the condensed optimizer's solution*: if the two
+formulations share their KKT points, SLSQP accepts it (near-)immediately and
+the objective moves by ~0; a wrong weight/sign/integration constant in either
+formulation would make SLSQP walk away to a different optimum.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from boundmpc_tpu import engine, ocp, solver as solver_mod
+from boundmpc_tpu.parity.ref_nlp import RefNlpSolver
+from boundmpc_tpu.runtime import ClosedLoopRunner, experiment1, experiment2
+
+
+def _stage_nlp_confirms_condensed_optimum(scenario, ticks=0):
+    r = ClosedLoopRunner(scenario)
+    if ticks:
+        r.run(max_ticks=ticks)
+    params = engine.assemble_params(r.cfg, r.state, r.path, r.weights,
+                                    r.x_phi_d)
+    u_gn, s_gn = solver_mod.solve(r.cfg, r.scfg, r.coeffs, params,
+                                  r.state.u_warm, r.limits)
+    assert float(s_gn.viol) < 1e-4
+
+    oracle = RefNlpSolver(r.cfg, r.coeffs, r.limits, maxiter=60)
+    u_ref, s_ref = oracle(params, u_gn)
+    assert float(s_ref.viol) < 1e-4, "stage NLP left feasibility"
+
+    obj_gn, obj_ref = float(s_gn.obj), float(s_ref.obj)
+    rel = abs(obj_gn - obj_ref) / max(abs(obj_gn), 1e-12)
+    # SLSQP may polish flat directions a little; it must not find a
+    # *meaningfully better* objective (that would mean the condensed
+    # formulation optimizes a different problem).
+    assert rel < 2e-3, f"stage-NLP moved the objective by {rel:.2e}"
+    # First-stage jerk knot (the executed control) must agree.
+    du0 = float(jnp.max(jnp.abs(u_ref[0] - u_gn[0])))
+    assert du0 < 0.5, f"executed control diverged: {du0}"
+    return rel
+
+
+@pytest.mark.slow
+def test_stage_nlp_confirms_condensed_optimum_exp1():
+    _stage_nlp_confirms_condensed_optimum(experiment1())
+
+
+@pytest.mark.slow
+def test_stage_nlp_confirms_condensed_optimum_exp1_midrun():
+    """Mid-run state (active window past the first segment)."""
+    _stage_nlp_confirms_condensed_optimum(experiment1(), ticks=25)
+
+
+@pytest.mark.slow
+def test_stage_nlp_confirms_condensed_optimum_exp2():
+    """The +-0.01 m corridor scenario — where constraint handling differs
+    most between formulations if anything is wrong."""
+    _stage_nlp_confirms_condensed_optimum(experiment2())
+
+
+@pytest.mark.slow
+def test_stage_nlp_dynamics_match_condensed_rollout():
+    """The stage NLP's dynamics equalities must hold EXACTLY on a condensed
+    rollout: packing any jerk plan must produce zero equality residual
+    (same integrator, same FK coupling)."""
+    r = ClosedLoopRunner(experiment1())
+    params = engine.assemble_params(r.cfg, r.state, r.path, r.weights,
+                                    r.x_phi_d)
+    oracle = RefNlpSolver(r.cfg, r.coeffs, r.limits)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.uniform(-5, 5, size=(r.cfg.N, 8)))
+    x = oracle._pack_warm(params, u)
+    ceq = np.asarray(oracle._ceq(params, x))
+    assert np.abs(ceq).max() < 1e-9
