@@ -51,3 +51,29 @@ def make_batched_tick(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
     tick1 = partial(engine.tick, cfg, scfg, coeffs, limits)
     vtick = jax.vmap(tick1, in_axes=(0, 0, 0, 0))
     return jax.jit(vtick, donate_argnums=(0,) if donate else ())
+
+
+def make_scanned_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
+                       n_ticks: int, dtype=jnp.float32):
+    """``n_ticks`` batched control periods fused into ONE jitted program via
+    `lax.scan` — host dispatch (measured ~25-30 ms per call through the TPU
+    tunnel) amortizes to zero, which is how a production serving loop would
+    run.  Returns fn(states, paths, weights, x_phi_d) ->
+    (states', (success (K, B), viol (K, B), iters (K, B)))."""
+    coeffs = jerkint.coeff_matrices(cfg.N, cfg.dt, dtype=dtype)
+    limits = kinematics.robot_limits()
+    limits = jax.tree.map(
+        lambda a: jnp.asarray(a, dtype) if isinstance(a, jnp.ndarray)
+        else a, limits
+    )
+    tick1 = partial(engine.tick, cfg, scfg, coeffs, limits)
+    vtick = jax.vmap(tick1, in_axes=(0, 0, 0, 0))
+
+    def many(states, paths, weights, x_phi_d):
+        def body(s, _):
+            s, out = vtick(s, paths, weights, x_phi_d)
+            return s, (out.success, out.stats.viol, out.stats.iters)
+
+        return jax.lax.scan(body, states, None, length=n_ticks)
+
+    return jax.jit(many, donate_argnums=(0,))

@@ -343,8 +343,17 @@ def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
         error_count=error_count,
         dead=dead,
     )
+    # A dead scenario is STOPPED: the reference returns Nones after N
+    # consecutive failures and the node halts the robot
+    # (BoundMPC.py:498-506, bound_mpc_node.py:306-307).  The vectorized
+    # analog freezes the whole carried state — without this a dead lane
+    # keeps replaying its exhausted stale plan and its violation diverges,
+    # poisoning fleet metrics.
+    was_dead = state.dead
+    new_state = jax.tree.map(
+        lambda old, new: jnp.where(was_dead, old, new), state, new_state)
     out = TickOut(
-        traj=traj, p0=params.p0, success=success, error_count=error_count,
-        stats=stats, params=params, u=u_used,
+        traj=traj, p0=params.p0, success=success & ~was_dead,
+        error_count=error_count, stats=stats, params=params, u=u_used,
     )
     return new_state, out

@@ -23,6 +23,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .lie import matrix_to_rotvec
 
@@ -40,8 +41,11 @@ D1, D2, D3, D4, D5, D6, D7, D8 = (
 
 # Per-joint: offset along parent z before the joint, rotation axis in the
 # parent frame, and sign.  Axis pattern z, y, z, -y, z, y, z.
-_OFFSETS = jnp.array([D1, D2, D3, D4, D5, D6, D7])
-_AXES = jnp.array(
+# numpy (not jnp) on purpose: importing this module must not initialise the
+# XLA backend (jax.distributed.initialize must be callable after import —
+# tests/test_multihost.py); numpy constants trace identically under jit.
+_OFFSETS = np.array([D1, D2, D3, D4, D5, D6, D7])
+_AXES = np.array(
     [
         [0.0, 0.0, 1.0],
         [0.0, 1.0, 0.0],

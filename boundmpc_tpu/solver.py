@@ -52,20 +52,30 @@ class SolverConfig(NamedTuple):
     armijo: float = 1e-4
     tol_step: float = 1e-8  # convergence: max |du|
     # KKT step method:
-    #   "qr"       — stacked weighted least squares via Householder QR.  The
-    #                barrier curvature spans ~1e12 in weight, so the normal
-    #                equations have condition ~1e11-1e13 — far beyond float32
-    #                Cholesky; QR sees only the SQUARE ROOT of that, which is
-    #                what makes an exact Newton step computable in float32 on
-    #                TPU.  The ONLY method validated convergent on-chip in
-    #                closed loop — the production path.
-    #   "woodbury" — capped-weight Cholesky + rank-k active-set correction.
-    #                Matmul-only and exact in f64, but NOT f32-robust: the
-    #                k x k correction system inherits near-collinear active
-    #                rows (adjacent-stage bounds) whose tiny 1/dw
-    #                regularization underflows the f32 solve — measured
-    #                divergence on-chip at k_active 40 AND 128.  Kept for
-    #                benchmarking/f64 only.
+    #   "qr"         — full stacked weighted least squares via Householder
+    #                  QR.  The barrier curvature spans ~1e12 in weight, so
+    #                  the normal equations have condition ~1e11-1e13 — far
+    #                  beyond float32 Cholesky; QR sees only the SQUARE ROOT
+    #                  of that, which is what makes an exact Newton step
+    #                  computable in float32 on TPU.  Robust but slow: the
+    #                  ~1100-row stacked system re-streams ~90 MB from HBM
+    #                  per Householder column at B=256 (~14 ms/iteration).
+    #   "qr_reduced" — same step, 6x fewer QR rows: every row whose barrier
+    #                  weight is below w_cap folds into a Gram matrix
+    #                  G = 2 Jr'Jr + Jc_lo' W_lo Jc_lo + reg I (measured
+    #                  kappa ~ 5e6 — float32-Cholesky-safe BECAUSE the
+    #                  heavily-weighted rows are excluded), and only the
+    #                  k_active most extreme rows keep exact sqrt-weight
+    #                  form, QR-merged against L0^T:
+    #                      R'R = L0 L0' + S'S = H   (exact)
+    #                  du = -R^{-1} R^{-T} g.  Production path.
+    #   "woodbury"   — capped-weight Cholesky + rank-k active-set correction
+    #                  via an explicit k x k solve.  Matmul-only and exact in
+    #                  f64, but NOT f32-robust: the correction system
+    #                  inherits near-collinear active rows whose tiny 1/dw
+    #                  regularization underflows the f32 solve — measured
+    #                  divergence on-chip at k_active 40 AND 128.  Kept for
+    #                  benchmarking/f64 only.
     method: str = "qr"
     # Barrier weight for warm-started receding-horizon re-solves (the mu
     # continuation restart).  A cold solve must walk mu down from mu_init;
@@ -91,11 +101,14 @@ class SolverConfig(NamedTuple):
 
 # Preset for the float32 TPU runtime path.  method="qr" is the only step
 # method measured convergent on-chip in closed loop (experiments/debug_f32.py:
-# 30+ ticks at B=16/B=256, success 1.0, viol <= 1e-4); scale_constraints
-# homogenizes the squared bound rows so the f32 barrier stays conditioned in
-# corridor scenarios; the iteration cap bounds p99 latency for warm-started
-# receding-horizon ticks.
-RUNTIME_F32 = SolverConfig(max_iters=16, delta=1e-7, reg=1e-6, tol_step=1e-5,
+# B=16 and B=256, success 1.0, viol <= 1e-4); scale_constraints homogenizes
+# the squared bound rows so the f32 barrier stays conditioned in corridor
+# scenarios.  max_iters=40 matches the reference Ipopt iteration scale
+# (Plotter.py:442 caps its plot at 40): at 16, ~12% of randomized scenarios
+# could not re-converge through path-geometry events and died; at 40 the
+# same fleet runs clean (measured, experiments/debug_f32.py --subset).  The
+# while_loop exits early once every scenario in the batch converges.
+RUNTIME_F32 = SolverConfig(max_iters=40, delta=1e-7, reg=1e-6, tol_step=1e-5,
                            scale_constraints=True, method="qr")
 
 
@@ -203,8 +216,11 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
             b = jnp.concatenate(
                 [sq2 * r, -rho, jnp.zeros(n, dtype)], axis=0
             )
-            Q, R = jnp.linalg.qr(A)
-            du = -jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
+            # vmap-transparent QR-LS: on TPU/f32 the batched call lowers to
+            # the Pallas streaming TSQR kernel (ops/tsqr.py) with the
+            # triangular factor resident in VMEM; elsewhere XLA QR.
+            from .ops import tsqr as _tsqr
+            du = _tsqr.ls_solve(A, b)
         else:
             # Matmul-only step: cap the barrier weights so the base Hessian
             # is float32-Cholesky-safe (kappa ~ w_cap * |Jc row|^2 / reg),

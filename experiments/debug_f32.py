@@ -22,12 +22,19 @@ def main():
     ap.add_argument("--method", default=None, help="override solver method")
     ap.add_argument("--max-iters", type=int, default=None)
     ap.add_argument("--k", type=int, default=None, help="override k_active")
+    ap.add_argument("--wcap", type=float, default=None, help="override w_cap")
     ap.add_argument("--platform", default=None, help="cpu to force local CPU")
+    ap.add_argument("--subset", default=None,
+                    help="comma-separated scenario indices (of the full "
+                         "--B batch) to run as their own small batch")
+    ap.add_argument("--f64", action="store_true", help="float64 solve")
     args = ap.parse_args()
 
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from boundmpc_tpu import batch, ocp, solver as solver_mod
     from __graft_entry__ import _build_batch
@@ -40,11 +47,22 @@ def main():
         scfg = scfg._replace(max_iters=args.max_iters)
     if args.k:
         scfg = scfg._replace(k_active=args.k)
+    if args.wcap:
+        scfg = scfg._replace(w_cap=args.wcap)
     print(f"platform={jax.devices()[0].platform} scfg={scfg}", flush=True)
 
+    import jax.numpy as _j
+    dtype = _j.float64 if args.f64 else _j.float32
     B = args.B
-    states, paths, weights, x_phi_d = _build_batch(B, cfg)
-    tick_b = batch.make_batched_tick(cfg, scfg, dtype=jnp.float32, donate=False)
+    states, paths, weights, x_phi_d = _build_batch(B, cfg, dtype=dtype)
+    if args.subset:
+        idx = jnp.asarray([int(s) for s in args.subset.split(",")])
+        take = lambda tree: jax.tree.map(lambda a: a[idx], tree)
+        states, paths = take(states), take(paths)
+        weights, x_phi_d = weights[idx], x_phi_d[idx]
+        B = len(idx)
+        print(f"subset of {args.B}: {[int(i) for i in idx]}")
+    tick_b = batch.make_batched_tick(cfg, scfg, dtype=dtype, donate=False)
 
     first_bad = None
     for t in range(args.ticks):

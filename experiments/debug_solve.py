@@ -69,7 +69,26 @@ def debug_solve(cfg, scfg, coeffs, params, u0, limits, mu0, label=""):
         L = jnp.linalg.cholesky(Hm)
         Minv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(n, dtype=dtype))
 
-        if scfg.method == "woodbury":
+        if scfg.method == "qr_reduced":
+            w_capped = jnp.minimum(w, scfg.w_cap)
+            G = 2.0 * (Jr.T @ Jr) + (Jc.T * w_capped[None, :]) @ Jc
+            G = G + scfg.reg * jnp.eye(n, dtype=dtype)
+            L0c = jnp.linalg.cholesky(G)
+            dwv = w - w_capped
+            dw_k, sidx = jax.lax.top_k(dwv, scfg.k_active)
+            sel = dw_k > 0.0
+            sqdw = jnp.sqrt(jnp.maximum(dw_k, 1e-30))
+            S = jnp.where(sel, sqdw, 0.0)[:, None] * Jc[sidx]
+            d1v = _barrier_d1(z, scfg.delta)
+            d1_lo = d1v.at[sidx].set(jnp.where(sel, 0.0, d1v[sidx]))
+            g_lo = 2.0 * (Jr.T @ r) - mu * (Jc.T @ d1_lo)
+            b1 = jnp.where(sel, -mu * d1v[sidx] / sqdw, 0.0)
+            b0 = jax.scipy.linalg.solve_triangular(L0c, g_lo, lower=True)
+            Ar = jnp.concatenate([L0c.T, S], axis=0)
+            br_ = jnp.concatenate([b0, b1])
+            Qr_, Rr_ = jnp.linalg.qr(Ar)
+            du = -jax.scipy.linalg.solve_triangular(Rr_, Qr_.T @ br_, lower=False)
+        elif scfg.method == "woodbury":
             dw = jnp.maximum(w - scfg.w_cap, 0.0)
             _, sidx = jax.lax.top_k(dw, scfg.k_active)
             dw_k = dw[sidx]
