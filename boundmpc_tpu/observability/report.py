@@ -28,6 +28,7 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from .. import kinematics, lie  # noqa: E402
@@ -97,7 +98,12 @@ def generate_report(log, runner, outdir: str, tail: str = "run") -> Report:
     phis = arrays["phi"]
     q = arrays["q"]
     dq = arrays["dq"]
-    p = arrays["p"]
+    # Recompute the pose from the POST-tick joints: log.p is the pose
+    # measured at tick START (Logger semantics), while log.phi/pr_ref are
+    # post-tick — pairing them directly puts a half-tick phase error into
+    # the bound audit, which near segment crossings (steep quartic slopes)
+    # looks like multi-millimeter violations that never happened.
+    p = np.asarray(jax.vmap(kinematics.fk_pose)(jnp.asarray(q)))
     path = runner.path
 
     bounds, segs = _bound_envelopes(path, phis)
@@ -199,16 +205,48 @@ def generate_report(log, runner, outdir: str, tail: str = "run") -> Report:
     axes[1].set_xlabel("t [s]")
     save(fig, "timing")
 
-    # 7. Manipulability
+    # 7. Manipulability / condition number / ellipsoid volume
+    # (Plotter.py:668-681): three measures of the Jacobian's conditioning.
     manip = np.asarray(
         jnp.stack([kinematics.manipulability(jnp.asarray(qi)) for qi in q])
     )
-    fig, ax = plt.subplots(figsize=(8, 3))
-    ax.plot(t, manip)
-    ax.set_ylabel("det(J Jᵀ)")
-    ax.set_xlabel("t [s]")
-    fig.suptitle("Manipulability measure")
+    J_all = np.asarray(jnp.stack([kinematics.jacobian(jnp.asarray(qi))
+                                  for qi in q]))
+    svals = np.linalg.svd(J_all, compute_uv=False)  # (T, 6)
+    cond = svals[:, 0] / np.maximum(svals[:, -1], 1e-12)
+    ellipsoid_volume = np.prod(svals, axis=1)
+    fig, axes = plt.subplots(3, 1, figsize=(8, 7), sharex=True)
+    axes[0].semilogy(t, ellipsoid_volume, label="ellipsoid volume")
+    axes[1].semilogy(t, cond, label="condition number")
+    axes[2].plot(t, manip, label="manipulability")
+    for ax in axes:
+        ax.legend(fontsize=8)
+    axes[-1].set_xlabel("t [s]")
+    fig.suptitle("Manipulability measures")
     save(fig, "manipulability")
+
+    # 8. Lie-linearization approximation error (Plotter.py:240-335):
+    # per-horizon-stage statistics of |true - linearized| plane rotation
+    # errors — the regression oracle for the orientation linearization.
+    approx_error = None
+    if len(getattr(log, "horizon_e_r_lin", [])):
+        er_lin = arrays["horizon_e_r_lin"]  # (T, N, 3)
+        er_true = arrays["horizon_e_r_true"]
+        approx_error = er_true - er_lin
+        abs_err_deg = np.abs(approx_error) * 180.0 / np.pi
+        stage_mean = abs_err_deg.mean(axis=0)  # (N, 3)
+        stage_max = abs_err_deg.max(axis=0)
+        fig, axes = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+        stages = np.arange(stage_mean.shape[0])
+        for ch, lbl in enumerate(["orth1", "orth2", "par"]):
+            axes[0].plot(stages, stage_mean[:, ch], ".-", label=lbl)
+            axes[1].plot(stages, stage_max[:, ch], ".-", label=lbl)
+        axes[0].set_ylabel("mean |err| [deg]")
+        axes[1].set_ylabel("max |err| [deg]")
+        axes[1].set_xlabel("horizon stage")
+        axes[0].legend(fontsize=8)
+        fig.suptitle("Orientation linearization approximation error")
+        save(fig, "approx_error")
 
     timing = {
         "t_comp_min": float(np.min(arrays["t_comp"])),
@@ -217,11 +255,51 @@ def generate_report(log, runner, outdir: str, tail: str = "run") -> Report:
         "t_comp_p99": float(np.percentile(arrays["t_comp"], 99)),
     }
 
+    # Bound-corner rectangles in global coordinates, projected onto the
+    # principal planes (Plotter.py:689-706 + util_functions.
+    # project_position_bounds :102-132) — the npz payload downstream paper
+    # figures consume.
+    lo1, lo2 = bounds[:, 2], bounds[:, 3]
+    up1, up2 = bounds[:, 0], bounds[:, 1]
+    bp1_t = np.asarray(path.bp1)[segs]
+    bp2_t = np.asarray(path.bp2)[segs]
+    corners = np.stack([
+        lo1[:, None] * bp1_t + lo2[:, None] * bp2_t,
+        lo1[:, None] * bp1_t + up2[:, None] * bp2_t,
+        up1[:, None] * bp1_t + lo2[:, None] * bp2_t,
+        up1[:, None] * bp1_t + up2[:, None] * bp2_t,
+    ], axis=1)  # (T, 4, 3)
+    dp_t = np.asarray(path.seg_dp)[segs]
+
+    def project_bounds(pidx):
+        vi = dp_t[:, pidx]
+        vi = vi / np.maximum(np.linalg.norm(vi, axis=1, keepdims=True), 1e-12)
+        v_orth = np.stack([vi[:, 1], -vi[:, 0]], axis=1)  # (T, 2)
+        proj = np.einsum("tck,tk->tc", corners[:, :, pidx], v_orth)  # (T, 4)
+        p_lo = proj.min(axis=1)[:, None] * v_orth + p_d[:, pidx]
+        p_up = proj.max(axis=1)[:, None] * v_orth + p_d[:, pidx]
+        return p_lo, p_up
+
+    pl_xy, pu_xy = project_bounds([0, 1])
+    pl_xz, pu_xz = project_bounds([0, 2])
+    pl_zy, pu_zy = project_bounds([1, 2])
+
+    extra = {}
+    if approx_error is not None:
+        extra["approx_error"] = approx_error
+
     npz_path = os.path.join(outdir, f"data_{tail}.npz")
     np.savez_compressed(
         npz_path, **arrays,
         e_p_b1=e_b1, e_p_b2=e_b2, e_p_par=e_par,
         e_r_b1=er_b1, e_r_b2=er_b2, e_r_par=er_par,
         bounds=bounds, p_ref=p_d,
+        bound_corners=corners,
+        bound_pl_proj_xy=pl_xy, bound_pu_proj_xy=pu_xy,
+        bound_pl_proj_xz=pl_xz, bound_pu_proj_xz=pu_xz,
+        bound_pl_proj_zy=pl_zy, bound_pu_proj_zy=pu_zy,
+        manipulability=manip, condition_number=cond,
+        ellipsoid_volume=ellipsoid_volume,
+        **extra,
     )
     return Report(outdir=outdir, figures=figures, timing=timing, npz_path=npz_path)

@@ -29,6 +29,9 @@ class RunLog:
     t: List[float] = field(default_factory=list)
     phi: List[float] = field(default_factory=list)
     dphi: List[float] = field(default_factory=list)
+    ddphi: List[float] = field(default_factory=list)
+    dddphi: List[float] = field(default_factory=list)
+    iw_ref: List[np.ndarray] = field(default_factory=list)  # (3,)
     q: List[np.ndarray] = field(default_factory=list)
     dq: List[np.ndarray] = field(default_factory=list)
     ddq: List[np.ndarray] = field(default_factory=list)
@@ -45,6 +48,11 @@ class RunLog:
     horizon_q: List[np.ndarray] = field(default_factory=list)  # (N, 7)
     horizon_phi: List[np.ndarray] = field(default_factory=list)  # (N,)
     horizon_p: List[np.ndarray] = field(default_factory=list)  # (N, 6)
+    # Lie-linearization regression series (Plotter.py:96-135, 240-247):
+    # plane coords are (orth1, orth2, par)
+    horizon_e_r_lin: List[np.ndarray] = field(default_factory=list)  # (N, 3)
+    horizon_e_r_true: List[np.ndarray] = field(default_factory=list)  # (N, 3)
+    v: List[np.ndarray] = field(default_factory=list)  # (6,) measured twist
 
     def arrays(self) -> Dict[str, np.ndarray]:
         return {k: np.asarray(v) for k, v in self.__dict__.items()}
@@ -79,6 +87,8 @@ class ClosedLoopRunner:
         self._tick = jax.jit(
             partial(engine.tick, self.cfg, self.scfg, self.coeffs, self.limits)
         )
+        from ..observability.horizon import make_horizon_eval
+        self._horizon_eval = make_horizon_eval(self.cfg, self.coeffs)
 
     def replan(self, scenario: Scenario, velocity_lookahead: bool = True):
         """Mid-run path replacement (the node's Trajectory update=true
@@ -118,15 +128,28 @@ class ClosedLoopRunner:
         experiment1_runner.py:104-112) or the engine dies."""
         log = RunLog()
         state = self.state
+        n_via = np.asarray(self.path.via_rotvec).shape[0]
         for k in range(max_ticks):
             t0 = time.perf_counter()
+            prev_pr_ref, prev_phi = state.pr_ref, state.phi
             state, out = self._tick(state, self.path, self.weights, self.x_phi_d)
             jax.block_until_ready(state.phi)
             t_comp = time.perf_counter() - t0
 
+            # Horizon-wise linearized vs true rotation errors (the
+            # approximation-error regression data, Plotter.py:96-135)
+            sec = int(state.sector)  # window base used by this tick
+            idx = jnp.clip(jnp.arange(3) + sec, 0, n_via - 1)
+            via_win = self.path.via_rotvec[idx]
+            er_lin, er_true = self._horizon_eval(
+                out.params, jnp.asarray(out.u), prev_pr_ref, prev_phi, via_win)
+
             log.t.append(k * self.cfg.dt)
             log.phi.append(float(state.phi))
             log.dphi.append(float(state.dphi))
+            log.ddphi.append(float(state.ddphi))
+            log.dddphi.append(float(state.dddphi))
+            log.iw_ref.append(np.asarray(state.iw_ref))
             log.q.append(np.asarray(state.q))
             log.dq.append(np.asarray(state.dq))
             log.ddq.append(np.asarray(state.ddq))
@@ -143,6 +166,9 @@ class ClosedLoopRunner:
             log.horizon_q.append(np.asarray(out.traj.q))
             log.horizon_phi.append(np.asarray(out.traj.phi))
             log.horizon_p.append(np.asarray(out.traj.p))
+            log.horizon_e_r_lin.append(np.asarray(er_lin))
+            log.horizon_e_r_true.append(np.asarray(er_true))
+            log.v.append(np.asarray(out.params.v0))
 
             if verbose:
                 print(f"tick {k:3d} phi {log.phi[-1]:.3f}/{self.phi_max:.3f} "

@@ -108,8 +108,12 @@ class SolverConfig(NamedTuple):
 # could not re-converge through path-geometry events and died; at 40 the
 # same fleet runs clean (measured, experiments/debug_f32.py --subset).  The
 # while_loop exits early once every scenario in the batch converges.
+# jac="ad" (one fused 80-tangent jacfwd) and the shorter 8-candidate line
+# search each save ~3 ms/iteration at B=256 on-chip with no success change
+# (the LM damping pre-scales steps, so deep backtracking is rarely needed).
 RUNTIME_F32 = SolverConfig(max_iters=40, delta=1e-7, reg=1e-6, tol_step=1e-5,
-                           scale_constraints=True, method="qr")
+                           scale_constraints=True, method="qr", jac="ad",
+                           n_ls=8)
 
 
 class SolveStats(NamedTuple):

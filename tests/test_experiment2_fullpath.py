@@ -1,0 +1,65 @@
+"""Experiment2 (±0.01 m corridor) full-path closed-loop validation.
+
+The corridor scenario is where constraint scaling and f32 conditioning
+either hold or don't (VERDICT round-1 item 5).  Both the float64 reference
+configuration and the float32 PRODUCTION configuration must drive the full
+path to phi_max with the EXECUTED trajectory respecting the bounds.
+
+Acceptance mirrors the reference's operational reality: individual solves
+may fail transiently inside the corridor (its Ipopt also fails there and
+falls back, BoundMPC.py:467-496); what must hold is (a) goal reached,
+(b) never dead, (c) executed states inside the quartic bound envelopes,
+(d) failures are a small minority of ticks.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from boundmpc_tpu import solver as solver_mod
+from boundmpc_tpu.observability.report import (_bound_envelopes,
+                                               _position_error_decomp)
+from boundmpc_tpu.runtime import ClosedLoopRunner, experiment2
+
+
+def _run_and_check(runner, bound_tol):
+    log = runner.run(max_ticks=500)
+    assert runner.phi_max - log.phi[-1] < 0.01, "did not reach the goal"
+    assert not bool(runner.state.dead)
+    succ = np.asarray(log.success)
+    assert succ.mean() > 0.80, f"too many failed ticks: {succ.mean():.2f}"
+    assert succ[-3:].all(), "must end in the success regime"
+
+    # Executed-trajectory bound compliance, recomputed from the POST-tick
+    # joints (log.p is the tick-START pose; pairing it with the post-tick
+    # phi would inject a half-tick phase error into the audit).
+    import jax
+    import jax.numpy as jnp
+    from boundmpc_tpu import kinematics
+
+    arrays = log.arrays()
+    phis = arrays["phi"]
+    p = np.asarray(jax.vmap(kinematics.fk_pose)(jnp.asarray(arrays["q"])))
+    bounds, segs = _bound_envelopes(runner.path, phis)
+    _, e_b1, e_b2, _ = _position_error_decomp(runner.path, phis, segs,
+                                              p[:, :3])
+    assert np.all(e_b1 <= bounds[:, 0] + bound_tol), \
+        f"bp1 upper violated by {np.max(e_b1 - bounds[:, 0]):.2e}"
+    assert np.all(e_b1 >= bounds[:, 2] - bound_tol), \
+        f"bp1 lower violated by {np.max(bounds[:, 2] - e_b1):.2e}"
+    assert np.all(e_b2 <= bounds[:, 1] + bound_tol)
+    assert np.all(e_b2 >= bounds[:, 3] - bound_tol)
+    return log
+
+
+@pytest.mark.slow
+def test_experiment2_full_path_f64():
+    r = ClosedLoopRunner(experiment2())
+    _run_and_check(r, bound_tol=5e-4)
+
+
+@pytest.mark.slow
+def test_experiment2_full_path_f32_runtime():
+    """The exact production preset on the corridor scenario."""
+    r = ClosedLoopRunner(experiment2(), solver_cfg=solver_mod.RUNTIME_F32,
+                         dtype=jnp.float32)
+    _run_and_check(r, bound_tol=1e-3)

@@ -12,7 +12,7 @@ from boundmpc_tpu import engine, solver as solver_mod
 from boundmpc_tpu.parity.oracle import OracleSolver, oracle_runner
 from boundmpc_tpu.runtime import ClosedLoopRunner, experiment1
 
-TICKS = 10
+TICKS = 25
 
 
 @pytest.fixture(scope="module")
@@ -60,3 +60,45 @@ def test_all_ticks_successful(loops):
     assert all(log_gn.success)
     assert all(log_or.success)
     assert max(log_gn.viol) < 1e-3
+
+
+@pytest.mark.slow
+def test_closed_loop_full_path_parity_exp2():
+    """FULL-PATH closed-loop parity on the corridor scenario: the condensed
+    GN engine vs the independent SLSQP oracle, both driven to phi_max.
+    Measured baseline: oracle succeeds every tick; max |q| gap ~0.07 rad
+    over the whole path (small per-solve differences contract in closed
+    loop, SURVEY.md §7.3)."""
+    from boundmpc_tpu.runtime import experiment2
+
+    orc = oracle_runner(experiment2())
+    log_o = orc.run(max_ticks=200)
+    assert orc.phi_max - log_o.phi[-1] < 0.01, "oracle did not reach goal"
+    assert all(log_o.success)
+
+    gn = ClosedLoopRunner(experiment2())
+    log_g = gn.run(max_ticks=200)
+    assert gn.phi_max - log_g.phi[-1] < 0.01, "engine did not reach goal"
+
+    L = min(len(log_o.q), len(log_g.q))
+    dq = np.abs(np.asarray(log_o.q)[:L] - np.asarray(log_g.q)[:L]).max()
+    dphi = np.abs(np.asarray(log_o.phi)[:L] - np.asarray(log_g.phi)[:L]).max()
+    assert dq < 0.12, f"joint trajectories diverged: {dq:.3f} rad"
+    assert dphi < 0.06, f"phi profiles diverged: {dphi:.3f}"
+
+
+@pytest.mark.slow
+def test_closed_loop_full_path_parity_exp1():
+    """FULL-PATH closed-loop parity on experiment1 (square path, large
+    rotations): condensed GN engine vs the SLSQP oracle to phi_max."""
+    orc = oracle_runner(experiment1())
+    log_o = orc.run(max_ticks=400)
+    assert orc.phi_max - log_o.phi[-1] < 0.01, "oracle did not reach goal"
+
+    gn = ClosedLoopRunner(experiment1())
+    log_g = gn.run(max_ticks=400)
+    assert gn.phi_max - log_g.phi[-1] < 0.01, "engine did not reach goal"
+
+    L = min(len(log_o.q), len(log_g.q))
+    dq = np.abs(np.asarray(log_o.q)[:L] - np.asarray(log_g.q)[:L]).max()
+    assert dq < 0.12, f"joint trajectories diverged: {dq:.3f} rad"
