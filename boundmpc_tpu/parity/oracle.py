@@ -16,10 +16,11 @@ class OracleSolver:
     SLSQP — an implementation-independent optimum for parity checks."""
 
     def __init__(self, cfg: ocp.OcpConfig, coeffs: jerkint.JerkCoeffs,
-                 limits: kinematics.RobotLimits):
+                 limits: kinematics.RobotLimits, maxiter: int = 200):
         self.cfg = cfg
         self.coeffs = coeffs
         self.limits = limits
+        self.maxiter = maxiter
         N, nu = cfg.N, cfg.nr_joints + 1
         self.n = N * nu
 
@@ -47,7 +48,7 @@ class OracleSolver:
         }
         res = minimize(
             fun, u0_flat, jac=jac, constraints=[cons], method="SLSQP",
-            options={"maxiter": 200, "ftol": 1e-10},
+            options={"maxiter": self.maxiter, "ftol": 1e-10},
         )
         u_opt = jnp.asarray(res.x.reshape(self.cfg.N, -1))
         ev = ocp.evaluate_stages(self.cfg, self.coeffs, params, u_opt)
@@ -62,13 +63,13 @@ class OracleSolver:
         return u_opt, stats
 
 
-def oracle_runner(scenario, capacity=None):
+def oracle_runner(scenario, capacity=None, maxiter: int = 200):
     """ClosedLoopRunner whose per-tick solve is the SLSQP oracle."""
     from ..runtime.runner import ClosedLoopRunner
     from .. import engine
 
     r = ClosedLoopRunner(scenario, dtype=jnp.float64, capacity=capacity)
-    oracle = OracleSolver(r.cfg, r.coeffs, r.limits)
+    oracle = OracleSolver(r.cfg, r.coeffs, r.limits, maxiter=maxiter)
     r._tick = partial(
         engine.tick, r.cfg, r.scfg, r.coeffs, r.limits, solve_fn=oracle
     )
