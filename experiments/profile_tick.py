@@ -6,7 +6,12 @@ Components per GN iteration:
   1. rc        — one batched rollout + residual/constraint evaluation
   2. jacobians — the 80-tangent jacfwd sweep (dominant AD cost)
   3. qr_solve  — stacked least-squares step (QR + triangular solve)
-  4. линsearch — 14 parallel merit evaluations (14 rollouts)
+  4. linesearch — the parallel merit evaluations (n_ls rollouts)
+
+``--trace DIR`` additionally captures a jax.profiler trace of full
+production ticks (open with TensorBoard / Perfetto) — the flamegraph-level
+view the reference never had (its tracing is perf_counter pairs,
+BoundMPC.py:445-455).
 """
 import os
 import sys
@@ -30,6 +35,24 @@ def timeit(f, *args, n=10):
         out = f(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n
+
+
+def trace_ticks(B: int, outdir: str, n_ticks: int = 5):
+    """Capture a jax.profiler trace of production batched ticks."""
+    from boundmpc_tpu import batch
+
+    cfg = ocp.OcpConfig()
+    scfg = S.RUNTIME_F32
+    states, paths, weights, x_phi_d = _build_batch(B, cfg)
+    tick_b = batch.make_batched_tick(cfg, scfg, dtype=jnp.float32,
+                                     donate=False)
+    states, out = tick_b(states, paths, weights, x_phi_d)  # compile
+    jax.block_until_ready(states.phi)
+    with jax.profiler.trace(outdir):
+        for _ in range(n_ticks):
+            states, out = tick_b(states, paths, weights, x_phi_d)
+        jax.block_until_ready(states.phi)
+    print(f"trace written to {outdir} ({n_ticks} ticks at B={B})")
 
 
 def main(B=64):
@@ -102,5 +125,10 @@ if __name__ == "__main__":
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("-B", type=int, default=64)
+    ap.add_argument("--trace", default=None,
+                    help="write a jax.profiler trace of full ticks here")
     args = ap.parse_args()
-    main(args.B)
+    if args.trace:
+        trace_ticks(args.B, args.trace)
+    else:
+        main(args.B)
