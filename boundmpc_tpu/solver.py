@@ -52,30 +52,30 @@ class SolverConfig(NamedTuple):
     armijo: float = 1e-4
     tol_step: float = 1e-8  # convergence: max |du|
     # KKT step method:
-    #   "qr"         — full stacked weighted least squares via Householder
-    #                  QR.  The barrier curvature spans ~1e12 in weight, so
-    #                  the normal equations have condition ~1e11-1e13 — far
-    #                  beyond float32 Cholesky; QR sees only the SQUARE ROOT
-    #                  of that, which is what makes an exact Newton step
-    #                  computable in float32 on TPU.  Robust but slow: the
-    #                  ~1100-row stacked system re-streams ~90 MB from HBM
-    #                  per Householder column at B=256 (~14 ms/iteration).
-    #   "qr_reduced" — same step, 6x fewer QR rows: every row whose barrier
-    #                  weight is below w_cap folds into a Gram matrix
-    #                  G = 2 Jr'Jr + Jc_lo' W_lo Jc_lo + reg I (measured
-    #                  kappa ~ 5e6 — float32-Cholesky-safe BECAUSE the
-    #                  heavily-weighted rows are excluded), and only the
-    #                  k_active most extreme rows keep exact sqrt-weight
-    #                  form, QR-merged against L0^T:
-    #                      R'R = L0 L0' + S'S = H   (exact)
-    #                  du = -R^{-1} R^{-T} g.  Production path.
-    #   "woodbury"   — capped-weight Cholesky + rank-k active-set correction
-    #                  via an explicit k x k solve.  Matmul-only and exact in
-    #                  f64, but NOT f32-robust: the correction system
-    #                  inherits near-collinear active rows whose tiny 1/dw
-    #                  regularization underflows the f32 solve — measured
-    #                  divergence on-chip at k_active 40 AND 128.  Kept for
-    #                  benchmarking/f64 only.
+    #   "qr"       — stacked weighted least squares via Householder QR with
+    #                EXACT row reduction (see the block comment in solve()):
+    #                the iteration-constant affine residual rows pre-factor
+    #                once per solve into an n x n triangular block, and
+    #                upper/lower box-constraint pairs merge into single rows
+    #                — m drops from ~1100 to ~550 with bit-level-identical
+    #                normal equations.  The barrier curvature spans ~1e12 in
+    #                weight, so those normal equations have condition
+    #                ~1e11-1e13 — far beyond float32 Cholesky; QR sees only
+    #                the SQUARE ROOT of that, which is what makes an exact
+    #                Newton step computable in float32 on TPU.  (Gram-based
+    #                reductions were tried and measured DIVERGENT in f32:
+    #                the formed Gram matrix goes indefinite at kappa ~ 2e9.)
+    #                Production path; lowers to the Pallas TSQR kernel on
+    #                TPU.
+    #   "qr_full"  — the same step without row reduction (reference
+    #                implementation the reduced stack is tested against).
+    #   "woodbury" — capped-weight Cholesky + rank-k active-set correction
+    #                via an explicit k x k solve.  Matmul-only and exact in
+    #                f64, but NOT f32-robust: the correction system inherits
+    #                near-collinear active rows whose tiny 1/dw
+    #                regularization underflows the f32 solve — measured
+    #                divergence on-chip at k_active 40 AND 128.  Kept for
+    #                benchmarking/f64 only.
     method: str = "qr"
     # Barrier weight for warm-started receding-horizon re-solves (the mu
     # continuation restart).  A cold solve must walk mu down from mu_init;
@@ -183,18 +183,65 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         from . import jacobian as jmod
         lmaps = jmod.linear_maps(cfg, dtype)
 
-    def step(st: _LoopState) -> _LoopState:
-        u, mu, reg = st.u, st.mu, st.reg
+    def _jacobians(u):
         if scfg.jac == "structured":
-            r, c, Jr, Jc = jmod.residuals_constraints_and_jacobians(
+            return jmod.residuals_constraints_and_jacobians(
                 cfg, coeffs, lmaps, params, u.reshape(N, nu), limits,
                 scaled=scfg.scale_constraints,
             )
-        else:
-            r, c = rc(u)
-            # One forward-mode sweep for both Jacobians: n tangents.
-            Jr, Jc = jax.vmap(lambda t: jax.jvp(rc, (u,), (t,))[1],
-                              out_axes=(1, 1))(jnp.eye(n, dtype=dtype))
+        r, c = rc(u)
+        # One forward-mode sweep for both Jacobians: n tangents.
+        Jr, Jc = jax.vmap(lambda t: jax.jvp(rc, (u,), (t,))[1],
+                          out_axes=(1, 1))(jnp.eye(n, dtype=dtype))
+        return r, c, Jr, Jc
+
+    # --- exact row reduction for the QR stack (method "qr") ---------------
+    # Residual-row layout per stage (ocp.residuals): 18 state-dependent rows
+    # (e_p 3, e_r 3, v 6, a 6) then 4*nj + 4 rows that are AFFINE in u with
+    # ITERATION-CONSTANT Jacobians (q, dq, ddq, u, phi-chain).  The affine
+    # block is QR-pre-factored ONCE per solve: 32 rows/stage collapse to one
+    # n x n triangular factor whose RHS is reproduced exactly per iteration
+    # as R0 u + Q0^T c_lin.  Box-constraint pairs (upper/lower share the
+    # same Jacobian row up to sign) merge into single rows with weight
+    # w_up + w_lo and RHS -mu (d1_up - d1_lo)/s — identical normal equations
+    # AND identical A^T b, so R and Q^T b match the full stack exactly.
+    # Net: m = 1100 rows -> 550, halving the TSQR kernel's work.
+    if scfg.method == "qr":
+        import numpy as onp
+
+        nj = cfg.nr_joints
+        blk = 18 + 4 * nj + 4
+        dyn_idx = (onp.arange(N)[:, None] * blk
+                   + onp.arange(18)[None, :]).ravel()
+        lin_idx = (onp.arange(N)[:, None] * blk
+                   + onp.arange(18, blk)[None, :]).ravel()
+        nlN, qN, phiN = 5 * N, nj * N, N
+        s_nl = slice(0, nlN)
+        s_qup = slice(nlN, nlN + qN)
+        s_qlo = slice(nlN + qN, nlN + 2 * qN)
+        s_dqup = slice(nlN + 2 * qN, nlN + 3 * qN)
+        s_dqlo = slice(nlN + 3 * qN, nlN + 4 * qN)
+        off = nlN + 4 * qN
+        s_negphi = slice(off, off + phiN)
+        s_phimax = slice(off + phiN, off + 2 * phiN)
+        s_dphi = slice(off + 2 * phiN, off + 3 * phiN)
+        s_uup = slice(off + 3 * phiN, off + 3 * phiN + n)
+        s_ulo = slice(off + 3 * phiN + n, off + 3 * phiN + 2 * n)
+
+        u0f = u0.reshape(-1).astype(dtype)
+        r0, c0, Jr0, Jc0 = _jacobians(u0f)
+        J_lin = Jr0[lin_idx]  # (32 N, n), iteration-constant
+        c_lin = r0[lin_idx] - J_lin @ u0f
+        Q0, R0 = jnp.linalg.qr(J_lin)
+        d0 = Q0.T @ c_lin
+        Jq0 = Jc0[s_qup]
+        Jdq0 = Jc0[s_dqup]
+        Jphi0 = Jc0[s_phimax]
+        Jdphi0 = Jc0[s_dphi]
+
+    def step(st: _LoopState) -> _LoopState:
+        u, mu, reg = st.u, st.mu, st.reg
+        r, c, Jr, Jc = _jacobians(u)
 
         z = -c
         g = 2.0 * (Jr.T @ r) - mu * (Jc.T @ _barrier_d1(z, scfg.delta))
@@ -210,6 +257,40 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         # => A^T A du = -A^T b  ==  H du = -g.
         w = mu * _barrier_d2(z, scfg.delta)
         if scfg.method == "qr":
+            d1 = _barrier_d1(z, scfg.delta)
+            sq2 = jnp.sqrt(jnp.asarray(2.0, dtype))
+            sqw_nl = jnp.sqrt(w[s_nl])
+            s_q = jnp.sqrt(w[s_qup] + w[s_qlo])
+            s_dq = jnp.sqrt(w[s_dqup] + w[s_dqlo])
+            s_phi = jnp.sqrt(w[s_phimax] + w[s_negphi])
+            sqw_dphi = jnp.sqrt(w[s_dphi])
+            s_u = jnp.sqrt(w[s_uup] + w[s_ulo] + reg)  # +I rows; reg folded
+            A = jnp.concatenate([
+                sq2 * Jr[dyn_idx],
+                sq2 * R0,
+                sqw_nl[:, None] * Jc[s_nl],
+                s_q[:, None] * Jq0,
+                s_dq[:, None] * Jdq0,
+                s_phi[:, None] * Jphi0,
+                sqw_dphi[:, None] * Jdphi0,
+                s_u[:, None] * jnp.eye(n, dtype=dtype),
+            ], axis=0)
+            b = jnp.concatenate([
+                sq2 * r[dyn_idx],
+                sq2 * (R0 @ u + d0),
+                -mu * d1[s_nl] / sqw_nl,
+                -mu * (d1[s_qup] - d1[s_qlo]) / s_q,
+                -mu * (d1[s_dqup] - d1[s_dqlo]) / s_dq,
+                -mu * (d1[s_phimax] - d1[s_negphi]) / s_phi,
+                -mu * d1[s_dphi] / sqw_dphi,
+                -mu * (d1[s_uup] - d1[s_ulo]) / s_u,
+            ])
+            # vmap-transparent QR-LS: on TPU/f32 the batched call lowers to
+            # the Pallas streaming TSQR kernel (ops/tsqr.py) with the
+            # triangular factor resident in VMEM; elsewhere XLA QR.
+            from .ops import tsqr as _tsqr
+            du = _tsqr.ls_solve(A, b)
+        elif scfg.method == "qr_full":
             sqw = jnp.sqrt(w)
             rho = mu * _barrier_d1(z, scfg.delta) / jnp.maximum(sqw, 1e-30)
             sq2 = jnp.sqrt(jnp.asarray(2.0, dtype))
@@ -220,9 +301,6 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
             b = jnp.concatenate(
                 [sq2 * r, -rho, jnp.zeros(n, dtype)], axis=0
             )
-            # vmap-transparent QR-LS: on TPU/f32 the batched call lowers to
-            # the Pallas streaming TSQR kernel (ops/tsqr.py) with the
-            # triangular factor resident in VMEM; elsewhere XLA QR.
             from .ops import tsqr as _tsqr
             du = _tsqr.ls_solve(A, b)
         else:
