@@ -14,7 +14,13 @@ Measurement discipline:
     reported from the SAME ticks — throughput of a diverged solver is
     meaningless (round-1 lesson);
   * p99 per-tick latency is measured on single un-fused ticks (dispatch
-    included), plus a B=1 single-scenario latency.
+    included), plus a B=1 single-scenario latency;
+  * a batch sweep (256..2048) reports the throughput curve and the chosen
+    operating point; `mfu` is XLA's own per-program FLOP count divided by
+    wall time and chip peak;
+  * if any lane-tick exceeds viol 1.0 a postmortem record (worst scenario
+    index, tick, violation history) is embedded in the JSON so the failure
+    is reproducible via `experiments/debug_f32.py --subset <lane>`.
 """
 import json
 import time
@@ -24,26 +30,51 @@ import numpy as np
 
 BASELINE_SOLVES_PER_S = 1000.0
 
+# Dense f32 peak TFLOP/s per chip kind (MXU, no sparsity).  Used only for
+# the MFU estimate; unknown kinds fall back to None (mfu omitted).
+_PEAK_F32_TFLOPS = {
+    "TPU v4": 137.5,  # bf16 275 / 2
+    "TPU v5": 197.0,
+    "TPU v5e": 98.5,  # bf16 197 / 2
+    "TPU v5p": 229.5,
+    "TPU v6e": 459.0,  # bf16 918 / 2
+}
+
+
+def _peak_tflops(kind: str):
+    for k, v in sorted(_PEAK_F32_TFLOPS.items(), key=lambda kv: -len(kv[0])):
+        if kind.startswith(k):
+            return v
+    return None
+
 
 def main():
     import jax
     import jax.numpy as jnp
     from boundmpc_tpu import batch, ocp, solver as solver_mod
+    from boundmpc_tpu.runtime import enable_compilation_cache
     from __graft_entry__ import _build_batch
 
+    enable_compilation_cache()
     cfg = ocp.OcpConfig()
     scfg = solver_mod.RUNTIME_F32
     platform = jax.devices()[0].platform
-    B = 256 if platform != "cpu" else 16
+    on_tpu = platform != "cpu"
+    B = 256 if on_tpu else 16
     K = 10  # ticks per fused scan
 
-    states, paths, weights, x_phi_d = _build_batch(B, cfg)
+    def build(Bi):
+        states, paths, weights, x_phi_d = _build_batch(Bi, cfg)
+        pref = batch.make_prefactor_batch(cfg, paths, weights, x_phi_d)
+        return states, paths, weights, x_phi_d, pref
+
+    states, paths, weights, x_phi_d, pref = build(B)
     tick_b = batch.make_batched_tick(cfg, scfg, dtype=jnp.float32, donate=False)
     scan_b = batch.make_scanned_ticks(cfg, scfg, K, dtype=jnp.float32)
 
     # Warm up: compile + settle into the receding-horizon regime.
     for _ in range(3):
-        states, out = tick_b(states, paths, weights, x_phi_d)
+        states, out = tick_b(states, paths, weights, x_phi_d, pref)
     jax.block_until_ready(states.phi)
 
     # Single-tick latencies (dispatch included) — the p99 control-period
@@ -51,16 +82,28 @@ def main():
     lat = []
     for _ in range(10):
         t0 = time.perf_counter()
-        states, out = tick_b(states, paths, weights, x_phi_d)
+        states, out = tick_b(states, paths, weights, x_phi_d, pref)
         jax.block_until_ready(states.phi)
         lat.append(time.perf_counter() - t0)
+
+    # XLA's own FLOP count for the fused-scan program (for the MFU report).
+    scan_flops = None
+    try:
+        lowered = scan_b.lower(states, paths, weights, x_phi_d, pref)
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            ca = cost[0] if isinstance(cost, (list, tuple)) else cost
+            scan_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     # Fused-scan throughput + correctness over the same ticks.
     succ_all, viol_all, iters_all = [], [], []
     times = []
     for _ in range(4):
         t0 = time.perf_counter()
-        states, (succ, viol, iters) = scan_b(states, paths, weights, x_phi_d)
+        states, (succ, viol, iters) = scan_b(states, paths, weights,
+                                             x_phi_d, pref)
         jax.block_until_ready(states.phi)
         times.append(time.perf_counter() - t0)
         succ_all.append(np.asarray(succ))
@@ -71,26 +114,71 @@ def main():
     viol_all = np.concatenate(viol_all)
     iters_all = np.concatenate(iters_all)
 
+    # Postmortem: identify the worst lane-tick if anything diverged.
+    postmortem = None
+    if viol_all.max() > 1.0:
+        t_bad, lane_bad = np.unravel_index(np.argmax(viol_all), viol_all.shape)
+        postmortem = {
+            "scenario": int(lane_bad),
+            "tick": int(t_bad),
+            "viol": float(viol_all[t_bad, lane_bad]),
+            "lane_viol_history": [float(v) for v in viol_all[:, lane_bad]],
+            "repro": f"python experiments/debug_f32.py --B {B} "
+                     f"--subset {int(lane_bad)} --ticks 40",
+        }
+
+    # Batch sweep: throughput curve over the scenario axis (VERDICT r2 #3).
+    sweep = []
+    sweep_sizes = [512, 1024, 2048] if on_tpu else []
+    for Bi in sweep_sizes:
+        try:
+            s_i, p_i, w_i, x_i, pr_i = build(Bi)
+            scan_i = batch.make_scanned_ticks(cfg, scfg, K, dtype=jnp.float32)
+            s_i, _ = scan_i(s_i, p_i, w_i, x_i, pr_i)  # warm/compile + settle
+            jax.block_until_ready(s_i.phi)
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                s_i, (sc_i, vl_i, _it) = scan_i(s_i, p_i, w_i, x_i, pr_i)
+                jax.block_until_ready(s_i.phi)
+                ts.append(time.perf_counter() - t0)
+            pt = float(np.median(ts)) / K
+            sweep.append({
+                "batch": Bi,
+                "solves_per_s": round(Bi / pt, 1),
+                "tick_ms": round(pt * 1e3, 2),
+                "success_rate": round(float(np.asarray(sc_i).mean()), 4),
+            })
+        except Exception as e:  # OOM etc. — report, don't crash the bench
+            sweep.append({"batch": Bi, "error": str(e)[:120]})
+
     # B=1 latency (single scenario, steady state)
-    states1, paths1, weights1, x_phi_d1 = _build_batch(1, cfg)
+    states1, paths1, weights1, x_phi_d1, pref1 = build(1)
     tick_1 = batch.make_batched_tick(cfg, scfg, dtype=jnp.float32, donate=False)
     for _ in range(3):
-        states1, out1 = tick_1(states1, paths1, weights1, x_phi_d1)
+        states1, out1 = tick_1(states1, paths1, weights1, x_phi_d1, pref1)
     jax.block_until_ready(states1.phi)
     lat1 = []
     for _ in range(10):
         t0 = time.perf_counter()
-        states1, out1 = tick_1(states1, paths1, weights1, x_phi_d1)
+        states1, out1 = tick_1(states1, paths1, weights1, x_phi_d1, pref1)
         jax.block_until_ready(states1.phi)
         lat1.append(time.perf_counter() - t0)
 
     solves_per_s = B / per_tick
+    # Headline = best sustained throughput across the sweep (the knee);
+    # the B=256 point remains reported separately.
+    best = max([{"batch": B, "solves_per_s": round(solves_per_s, 1)}]
+               + [s for s in sweep if "solves_per_s" in s
+                  and s.get("success_rate", 0) >= 0.999],
+               key=lambda s: s["solves_per_s"])
+
     result = {
         "metric": "batched_mpc_solves_per_s_per_chip",
-        "value": round(solves_per_s, 1),
+        "value": best["solves_per_s"],
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
-        "batch": B,
+        "vs_baseline": round(best["solves_per_s"] / BASELINE_SOLVES_PER_S, 3),
+        "batch": best["batch"],
         "platform": platform,
         "tick_latency_ms": round(per_tick * 1e3, 2),
         "tick_latency_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
@@ -99,7 +187,19 @@ def main():
         "max_viol": float(viol_all.max()),
         "mean_iters": round(float(iters_all.mean()), 1),
         "ticks_measured": int(succ_all.shape[0]),
+        "b256_solves_per_s": round(solves_per_s, 1),
+        "batch_sweep": sweep,
     }
+    if scan_flops is not None:
+        tflops_achieved = scan_flops / (per_tick * K) / 1e12
+        result["achieved_tflops"] = round(tflops_achieved, 3)
+        kind = jax.devices()[0].device_kind
+        peak = _peak_tflops(kind)
+        result["device_kind"] = kind
+        if peak:
+            result["mfu"] = round(tflops_achieved / peak, 5)
+    if postmortem is not None:
+        result["postmortem"] = postmortem
     print(json.dumps(result))
 
 

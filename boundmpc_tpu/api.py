@@ -117,10 +117,42 @@ class BoundMPC:
     def update(self, pos_points, rot_points, pos_lim, rot_lim, bp1, br1,
                s, e_p_min, e_r_min, e_p_max, e_r_max, p, v, a, jerk,
                p0=np.zeros(6), params: Optional[MPCParams] = None):
-        """Mid-run replanning — reference BoundMPC.update (:163-217)."""
+        """Mid-run replanning — reference BoundMPC.update (:163-217).
+
+        A params record that changes the problem DIMENSIONS (n, nr_segs, dt)
+        rebuilds the OCP config, jerk-integration coefficients, and the
+        jitted tick, and resizes the carried warm-start plan — the analog of
+        the reference node re-running `BoundMPC.__init__` whenever MPCParams
+        arrive (nodes/bound_mpc_node.py:48 -> BoundMPC.py:35-62)."""
         if params is not None:
+            rebuild = (params.n != self.N or params.nr_segs != self.nr_segs
+                       or params.dt != self.dt)
             self.params = params
             self.weights = jnp.asarray(np.asarray(params.weights), self.dtype)
+            if rebuild:
+                old_state = self._state
+                old_N = self.N
+                self.N = params.n
+                self.dt = params.dt
+                self.nr_segs = params.nr_segs
+                self.cfg = ocp.OcpConfig(N=params.n, nr_segs=params.nr_segs,
+                                         dt=params.dt)
+                self.coeffs = jerkint.coeff_matrices(self.cfg.N, self.cfg.dt,
+                                                     dtype=self.dtype)
+                self._tick = jax.jit(partial(engine.tick, self.cfg, self.scfg,
+                                             self.coeffs, self.limits))
+                # Resize the carried jerk-knot plans to the new horizon
+                # (truncate or terminal-repeat), keep all scalar state.
+                def resize(u):
+                    if params.n <= old_N:
+                        return u[: params.n]
+                    tail = jnp.broadcast_to(u[-1:], (params.n - old_N,
+                                                     u.shape[1]))
+                    return jnp.concatenate([u, tail], axis=0)
+                self._state = old_state._replace(
+                    u_warm=resize(old_state.u_warm),
+                    u_safe=resize(old_state.u_safe),
+                )
         self._set_path(pos_points, rot_points, pos_lim, rot_lim, bp1, br1,
                        s, e_p_min, e_r_min, e_p_max, e_r_max)
         self.phi_max = np.array([float(self.path.phi_max) - 1e-4])

@@ -56,10 +56,21 @@ class ShardedEngine:
             kinematics.robot_limits(),
         )
 
-        tick1 = partial(engine.tick, cfg, scfg, coeffs, limits)
+        self._tick1 = partial(engine.tick, cfg, scfg, coeffs, limits)
+        self._tick_fns = {}
 
-        def shard_tick(states, paths, weights, x_phi_d):
-            new_states, outs = jax.vmap(tick1)(states, paths, weights, x_phi_d)
+    def _get_tick(self, has_pref: bool):
+        if has_pref in self._tick_fns:
+            return self._tick_fns[has_pref]
+        tick1 = self._tick1
+        metric_keys = ("n_success", "n_dead", "total_iters", "max_viol",
+                       "mean_phi")
+
+        def shard_tick(states, paths, weights, x_phi_d, *maybe_pref):
+            pref = maybe_pref[0] if maybe_pref else None
+            axes = (0, 0, 0, 0, None, 0 if has_pref else None)
+            new_states, outs = jax.vmap(tick1, in_axes=axes)(
+                states, paths, weights, x_phi_d, None, pref)
             # Fleet metrics reduced over ICI (per-shard partial sums).
             metrics = {
                 "n_success": jax.lax.psum(
@@ -74,25 +85,38 @@ class ShardedEngine:
             }
             return new_states, outs, metrics
 
+        in_specs = (P("scenario"),) * (5 if has_pref else 4)
         sharded = jax.shard_map(
             shard_tick,
-            mesh=mesh,
-            in_specs=(P("scenario"), P("scenario"), P("scenario"), P("scenario")),
-            out_specs=(P("scenario"), P("scenario"), {k: P() for k in
-                       ("n_success", "n_dead", "total_iters", "max_viol", "mean_phi")}),
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=(P("scenario"), P("scenario"),
+                       {k: P() for k in metric_keys}),
             # Replicated scan carries (e.g. the FK chain's identity init) are
             # promoted to varying inside the body; skip the strict VMA check.
             check_vma=False,
         )
-        self._tick = jax.jit(sharded, donate_argnums=(0,))
+        fn = jax.jit(sharded, donate_argnums=(0,))
+        self._tick_fns[has_pref] = fn
+        return fn
 
     def sharding(self, batched_pytree):
         """NamedSharding placement for a batched pytree (leading scenario axis)."""
         sh = NamedSharding(self.mesh, P("scenario"))
         return jax.device_put(batched_pytree, sh)
 
-    def tick(self, states, paths, weights, x_phi_d):
-        return self._tick(states, paths, weights, x_phi_d)
+    def prefactor(self, paths, weights, x_phi_d):
+        """Sharded per-scenario QR prefactor (solver.QrPrefactor batch)."""
+        f = jax.jit(jax.vmap(
+            lambda pm, w, x: solver_mod.make_prefactor(
+                self.cfg, pm, w, x, dtype=self.dtype)
+        ))
+        return self.sharding(f(paths.phi_max, weights, x_phi_d))
+
+    def tick(self, states, paths, weights, x_phi_d, pref=None):
+        if pref is None:
+            return self._get_tick(False)(states, paths, weights, x_phi_d)
+        return self._get_tick(True)(states, paths, weights, x_phi_d, pref)
 
 
 def make_train_step_like(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,

@@ -209,11 +209,11 @@ def assemble_params(cfg: ocp.OcpConfig, state: EngineState, path: PathData,
     )
     acoef = jnp.concatenate([acoef, acoef[-1:]], axis=0)
 
-    # Weight adjustment (BoundMPC.py:398-403) and numerical clamps (:405-413)
+    # Weight adjustment (BoundMPC.py:398-403) and numerical clamps (:405-413).
+    # Shared with solver.make_prefactor so the setup-time QR factorization of
+    # the linear residual block sees the exact same weights.
     phi_max_global = path.phi_max - 1e-4
-    scaling = jnp.minimum(1.0 / jnp.maximum(phi_max_global, 1e-6) ** 2, 2.0)
-    w6 = jnp.where(x_phi_d[0] < 1.0, weights[6] * scaling, weights[6])
-    weights_t = weights.at[6].set(w6)
+    weights_t = solver_mod.adjusted_weights(path.phi_max, weights, x_phi_d)
     phi_max_t = jnp.minimum(state.phi + 5.0, phi_max_global)
     x_phi_d_t = x_phi_d.at[0].set(jnp.minimum(state.phi + 5.0, x_phi_d[0]))
     qd = jnp.where(phi_max_t - state.phi < 0.05, state.q, jnp.zeros(7, dtype))
@@ -245,22 +245,28 @@ def assemble_params(cfg: ocp.OcpConfig, state: EngineState, path: PathData,
 def tick(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
          coeffs: jerkint.JerkCoeffs, limits: kinematics.RobotLimits,
          state: EngineState, path: PathData, weights: jnp.ndarray,
-         x_phi_d: jnp.ndarray, solve_fn=None):
+         x_phi_d: jnp.ndarray, solve_fn=None, pref=None):
     """One full control tick.  Returns (new_state, TickOut).
 
     ``solve_fn(params, u_warm) -> (u_opt, SolveStats)`` overrides the
     built-in solver (used by the parity oracle harness, which plugs a
     host-side scipy solve into the otherwise identical tick pipeline).
+
+    ``pref`` (optional solver_mod.QrPrefactor) supplies the setup-time QR
+    factorization of the tick-constant linear residual block — build it once
+    per scenario with `solver.make_prefactor(cfg, path.phi_max, weights,
+    x_phi_d)`; without it the solver factors in-tick (same numerics, one
+    extra batched 320 x n QR per tick).
     """
     # TPU matmul units default to bf16 inputs; the solver's normal equations
     # and the FK chain need true f32 accumulation (trace-time context).
     with jax.default_matmul_precision("float32"):
         return _tick_impl(cfg, scfg, coeffs, limits, state, path, weights,
-                          x_phi_d, solve_fn)
+                          x_phi_d, solve_fn, pref)
 
 
 def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
-               solve_fn):
+               solve_fn, pref):
     # Window slide on segment crossing (ReferencePath.update :190-212,
     # called from get_parameters at the start of BoundMPC.step :310)
     sector = advance_sector(path, state.sector, state.phi)
@@ -270,12 +276,19 @@ def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
 
     if solve_fn is None:
         # Warm-started ticks resume the mu continuation near the central
-        # path (Ipopt warm-start analog, see SolverConfig.mu_warm); a
-        # scenario recovering from a failed solve restarts cold.
-        mu0 = jnp.where(state.has_prev & (state.error_count == 0),
-                        scfg.mu_warm, scfg.mu_init)
+        # path (Ipopt warm-start analog, see SolverConfig.mu_warm).  This
+        # INCLUDES ticks recovering from a failed solve: restarting those
+        # cold (round-2 design) was measured to be the divergence mechanism
+        # behind the bench's max_viol-300 dead lanes — mu_init=1e-2 slams a
+        # boundary-hugging iterate deep into the interior, the constraint
+        # linearization breaks, and 40 iterations end mid-walk at viol ~7,
+        # turning one marginal gate failure (viol 1.07e-4) into a death
+        # spiral.  Cold starts are for states with NO previous plan (first
+        # tick, post-replan) only.
+        mu0 = jnp.where(state.has_prev, scfg.mu_warm, scfg.mu_init)
         u_opt, stats = solver_mod.solve(cfg, scfg, coeffs, params,
-                                        state.u_warm, limits, mu0=mu0)
+                                        state.u_warm, limits, mu0=mu0,
+                                        pref=pref)
     else:
         u_opt, stats = solve_fn(params, state.u_warm)
 

@@ -155,17 +155,12 @@ def _scatter_joint(maps: jnp.ndarray, N: int, dtype):
     return jnp.concatenate([out, pad], axis=-1)  # (N, 7, N, 8)
 
 
-def assemble_jacobians(cfg: ocp.OcpConfig, lmaps: LinearJacs,
-                       params: ocp.OcpParams, traj: ocp.Trajectory,
-                       pieces: StageJacPieces, u: jnp.ndarray):
-    """Full (Jr, Jc) matching ocp.residuals_and_constraints' AD Jacobians.
-
-    Returns Jr (N*50, N*8), Jc (M, N*8)."""
-    N, dtype = cfg.N, u.dtype
-    n = N * 8
+def chain_nonlinear(cfg: ocp.OcpConfig, lmaps: LinearJacs,
+                    pieces: StageJacPieces, dtype) -> jnp.ndarray:
+    """Chain the per-stage local jacobians through the constant linear maps
+    into the full nonlinear-output jacobian Dout (N, 29, N, 8)."""
+    N = cfg.N
     cp, cv, ca = lmaps.cp, lmaps.cv, lmaps.ca
-    sw = jnp.sqrt(params.weights)
-
     nl = pieces  # aliases
     out = _NL_OUT  # 29
 
@@ -201,9 +196,24 @@ def assemble_jacobians(cfg: ocp.OcpConfig, lmaps: LinearJacs,
     Dout = Dout + jnp.einsum("ko,kl,m->kolm", nl.S_ddphi, ca, phi_col)
     Dout = Dout + jnp.einsum("kop,kplm->kolm", nl.S_iw, Diw)
     Dout = Dout + jnp.einsum("kop,kplm->kolm", nl.S_vprev, Dv_prev)
+    return Dout
 
+
+def assemble_jacobians(cfg: ocp.OcpConfig, lmaps: LinearJacs,
+                       params: ocp.OcpParams, traj: ocp.Trajectory,
+                       pieces: StageJacPieces, u: jnp.ndarray):
+    """Full (Jr, Jc) matching ocp.residuals_and_constraints' AD Jacobians.
+
+    Returns Jr (N*50, N*8), Jc (M, N*8)."""
+    N, dtype = cfg.N, u.dtype
+    n = N * 8
+    cp, cv, ca = lmaps.cp, lmaps.cv, lmaps.ca
+    sw = jnp.sqrt(params.weights)
+
+    Dout = chain_nonlinear(cfg, lmaps, pieces, dtype)
     D_rnl = Dout[:, :18]  # (N, 18, N, 8)
     D_cnl = Dout[:, 18:23]  # (N, 5, N, 8)
+    phi_col = jnp.zeros((8,), dtype).at[7].set(1.0)
 
     # --- linear residual blocks (constant jacobians, weight-scaled) ---
     zero = jnp.zeros((N, 7, N, 8), dtype)
@@ -235,6 +245,132 @@ def assemble_jacobians(cfg: ocp.OcpConfig, lmaps: LinearJacs,
     ], axis=0)
     Jc = jnp.concatenate([Jc_nl, Jc_lin], axis=0)
     return Jr, Jc
+
+
+# ---------------------------------------------------------------------------
+# Trace-time CONSTANT jacobian blocks (pure numpy).  Everything linear in u
+# has an iteration- AND tick-constant jacobian built from the jerk
+# integration maps; recomputing these with AD every solve (round-2 design)
+# wasted a full jacfwd sweep plus a batched 320x80 XLA QR per tick.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _box_jacobians_np(N: int, dt: float):
+    """Constant jacobians of the box-constraint rows (ocp.linear_constraints
+    order): d(q)/dU (7N, n), d(dq)/dU (7N, n), d(phi)/dU (N, n),
+    d(dphi)/dU (N, n)."""
+    cp, cv, _ = _linear_maps_np(N, dt)
+    n = N * 8
+    eye7 = np.eye(7)
+
+    def scatter(m):
+        out = np.einsum("kl,jm->kjlm", m, eye7)  # (N, 7, N, 7)
+        out = np.concatenate([out, np.zeros((N, 7, N, 1))], axis=-1)
+        return out.reshape(N * 7, n)
+
+    phi_col = np.zeros(8)
+    phi_col[7] = 1.0
+    row = lambda m: np.einsum("kl,m->klm", m, phi_col).reshape(N, n)
+    return scatter(cp), scatter(cv), row(cp), row(cv)
+
+
+def box_jacobians(cfg: ocp.OcpConfig, dtype):
+    jq, jdq, jphi, jdphi = _box_jacobians_np(cfg.N, cfg.dt)
+    return (jnp.asarray(jq, dtype), jnp.asarray(jdq, dtype),
+            jnp.asarray(jphi, dtype), jnp.asarray(jdphi, dtype))
+
+
+@lru_cache(maxsize=None)
+def _linear_stack_np(N: int, dt: float):
+    """UNWEIGHTED constant jacobian stack M (32N, n) of the linear residual
+    rows in BLOCK order [q(7N); dq(7N); ddq(7N); u(7N); phi(N); dphi(N);
+    ddphi(N); uphi(N)], plus the index map into the 8 per-block sqrt-weight
+    slots [10, 11, 12, 13, 6, 7, 8, 9] (ocp.residuals layout, signs folded:
+    the phi-chain residuals are sw*(target - x) so their jacobians are
+    NEGATED maps)."""
+    cp, cv, ca = _linear_maps_np(N, dt)
+    n = N * 8
+    eye7 = np.eye(7)
+
+    def scatter(m):
+        out = np.einsum("kl,jm->kjlm", m, eye7)
+        out = np.concatenate([out, np.zeros((N, 7, N, 1))], axis=-1)
+        return out.reshape(N * 7, n)
+
+    Ju = np.einsum("kl,jm->kjlm", np.eye(N), np.eye(7, 8)).reshape(N * 7, n)
+    phi_col = np.zeros(8)
+    phi_col[7] = 1.0
+    row = lambda m: np.einsum("kl,m->klm", m, phi_col).reshape(N, n)
+    Juphi = np.einsum("kl,m->klm", np.eye(N), phi_col).reshape(N, n)
+
+    M = np.concatenate([
+        scatter(cp), scatter(cv), scatter(ca), Ju,
+        -row(cp), -row(cv), -row(ca), Juphi,
+    ], axis=0)  # (32N, n)
+    widx = np.concatenate([
+        np.full(7 * N, 0), np.full(7 * N, 1), np.full(7 * N, 2),
+        np.full(7 * N, 3), np.full(N, 4), np.full(N, 5), np.full(N, 6),
+        np.full(N, 7),
+    ]).astype(np.int32)
+    return M, widx
+
+
+# sqrt-weight slots per linear block, aligned with _linear_stack_np's widx
+_LIN_W_SLOTS = np.array([10, 11, 12, 13, 6, 7, 8, 9])
+
+
+def linear_stack(cfg: ocp.OcpConfig, weights: jnp.ndarray, dtype):
+    """Weighted linear residual jacobian J_lin (32N, n) for the given
+    (already w6-adjusted) weight vector."""
+    M, widx = _linear_stack_np(cfg.N, cfg.dt)
+    sw = jnp.sqrt(weights)[jnp.asarray(_LIN_W_SLOTS)]
+    bw = sw[jnp.asarray(widx)]
+    return bw[:, None] * jnp.asarray(M, dtype)
+
+
+def linear_offsets(cfg: ocp.OcpConfig, coeffs: jerkint.JerkCoeffs,
+                   params: ocp.OcpParams, dtype) -> jnp.ndarray:
+    """c_lin (32N,): the linear residual VALUES at u = 0 in the same block
+    order, so that r_lin(u) = J_lin @ u_flat + c_lin exactly.  One zero-input
+    triple-integrator rollout — no FK, no AD."""
+    N = cfg.N
+    sw = jnp.sqrt(params.weights)
+    u_prev = jnp.concatenate([params.u_prev, params.uphi_prev[None]])
+    u_all = jnp.concatenate([u_prev[None], jnp.zeros((N, 8), dtype)], axis=0)
+    qz, dqz, ddqz = jerkint.rollout_linear(
+        coeffs, u_all[:, :7], params.q0, params.dq0, params.ddq0)
+    phz, dphz, ddphz = jerkint.rollout_linear(
+        coeffs, u_all[:, 7:], params.phi0[None], params.dphi0[None],
+        params.ddphi0[None])
+    return jnp.concatenate([
+        (sw[10] * (qz - params.qd[None, :])).ravel(),
+        (sw[11] * dqz).ravel(),
+        (sw[12] * ddqz).ravel(),
+        jnp.zeros(7 * N, dtype),
+        sw[6] * (params.x_phi_d[0] - phz[:, 0]),
+        sw[7] * (params.x_phi_d[1] - dphz[:, 0]),
+        sw[8] * (params.x_phi_d[2] - ddphz[:, 0]),
+        jnp.zeros(N, dtype),
+    ])
+
+
+def reduced_jacobians(cfg: ocp.OcpConfig, coeffs: jerkint.JerkCoeffs,
+                      lmaps: LinearJacs, params: ocp.OcpParams,
+                      u: jnp.ndarray, limits, scaled: bool = False):
+    """(r, c, Jr_dyn (18N, n), Jc_nl (5N, n)) — values for everything, but
+    jacobians ONLY for the state-dependent (FK-coupled) rows.  The linear
+    residual rows are covered by the QR prefactor (solver method "qr") and
+    the box-constraint rows by the trace-time constants above."""
+    ev = ocp.evaluate_stages(cfg, coeffs, params, u)
+    r = ocp.residuals(cfg, params, ev, u)
+    c = ocp.full_constraints(cfg, params, ev, u, limits, scaled=scaled)
+    v_prev_all = jnp.concatenate([params.v0[None], ev.traj.v[:-1]], axis=0)
+    pieces = stage_jacobians(cfg, params, ev.traj, v_prev_all, scaled=scaled)
+    Dout = chain_nonlinear(cfg, lmaps, pieces, u.dtype)
+    n = cfg.N * 8
+    Jr_dyn = Dout[:, :18].reshape(cfg.N * 18, n)
+    Jc_nl = Dout[:, 18:23].reshape(cfg.N * 5, n)
+    return r, c, Jr_dyn, Jc_nl
 
 
 def residuals_constraints_and_jacobians(cfg: ocp.OcpConfig,

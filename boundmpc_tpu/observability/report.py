@@ -248,6 +248,44 @@ def generate_report(log, runner, outdir: str, tail: str = "run") -> Report:
         fig.suptitle("Orientation linearization approximation error")
         save(fig, "approx_error")
 
+    # 9. Derivative cross-check (Plotter.py:456-463, 490-494): the MPC's
+    # COMPUTED error derivatives vs NUMERICAL differentiation of the logged
+    # error series — the regression oracle for the error linearization.
+    if len(getattr(log, "de_p", [])):
+        dt_s = float(np.median(np.diff(t))) if len(t) > 1 else runner.cfg.dt
+        fig, axes = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+        for ax, (e_ser, de_ser, unit) in zip(axes, [
+            (arrays["e_p"], arrays["de_p"], "m/s"),
+            (arrays["e_r"], arrays["de_r"], "rad/s"),
+        ]):
+            num = np.gradient(e_ser, dt_s, axis=0)  # (T, 3)
+            for ch, c in zip(range(3), ["C0", "C1", "C2"]):
+                ax.plot(t, de_ser[:, ch], c, lw=1.0,
+                        label=f"computed [{ch}]" if ch == 0 else None)
+                ax.plot(t, num[:, ch], c + "--", lw=0.8,
+                        label=f"numeric d/dt [{ch}]" if ch == 0 else None)
+            ax.set_ylabel(f"de [{unit}]")
+            ax.legend(fontsize=8)
+        axes[0].set_title("position error derivative")
+        axes[1].set_title("orientation error derivative")
+        axes[-1].set_xlabel("t [s]")
+        fig.suptitle("Computed vs numerically differentiated error derivatives")
+        save(fig, "error_derivatives")
+
+    # 10. Joint acceleration / jerk with limits (the reference's joint
+    # dynamics horizon figures; jerk limit RobotModel.py:42-43).
+    fig, axes = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+    axes[0].plot(t, arrays["ddq"])
+    axes[0].set_ylabel("ddq [rad/s²]")
+    axes[1].plot(t, arrays["jerk"])
+    for vlim in np.unique(np.atleast_1d(np.asarray(lims.u_max)).ravel()[:7]):
+        axes[1].axhline(vlim, color="r", ls=":", lw=0.5)
+        axes[1].axhline(-vlim, color="r", ls=":", lw=0.5)
+    axes[1].set_ylabel("dddq [rad/s³]")
+    axes[1].set_xlabel("t [s]")
+    fig.suptitle("Joint accelerations / jerks with limits")
+    save(fig, "joint_dynamics")
+
     timing = {
         "t_comp_min": float(np.min(arrays["t_comp"])),
         "t_comp_max": float(np.max(arrays["t_comp"])),
@@ -289,11 +327,14 @@ def generate_report(log, runner, outdir: str, tail: str = "run") -> Report:
         extra["approx_error"] = approx_error
 
     npz_path = os.path.join(outdir, f"data_{tail}.npz")
+    # `audit_*` keys are the report's OFFLINE recomputation (the Plotter's
+    # "true error" pass); same-named raw keys from RunLog.arrays() are the
+    # MPC's own in-loop values.
     np.savez_compressed(
         npz_path, **arrays,
-        e_p_b1=e_b1, e_p_b2=e_b2, e_p_par=e_par,
-        e_r_b1=er_b1, e_r_b2=er_b2, e_r_par=er_par,
-        bounds=bounds, p_ref=p_d,
+        e_p_b1=e_b1, e_p_b2=e_b2, audit_e_p_par=e_par,
+        e_r_b1=er_b1, e_r_b2=er_b2, audit_e_r_par=er_par,
+        bounds=bounds, audit_p_ref=p_d,
         bound_corners=corners,
         bound_pl_proj_xy=pl_xy, bound_pu_proj_xy=pu_xy,
         bound_pl_proj_xz=pl_xz, bound_pu_proj_xz=pu_xz,

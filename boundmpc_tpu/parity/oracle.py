@@ -74,7 +74,8 @@ def oracle_runner(scenario, capacity=None, maxiter: int = 200):
         engine.tick, r.cfg, r.scfg, r.coeffs, r.limits, solve_fn=oracle
     )
     # engine.tick's keyword-only pieces: path/weights/x_phi_d stay positional
-    def tick(state, path, weights, x_phi_d):
+    # (pref is accepted and ignored — the oracle solve has no QR prefactor)
+    def tick(state, path, weights, x_phi_d, pref=None):
         return engine.tick(r.cfg, r.scfg, r.coeffs, r.limits, state, path,
                            weights, x_phi_d, solve_fn=oracle)
 

@@ -100,6 +100,12 @@ def build_path(
     ``r_via`` entries are 3x3 rotation matrices.  ``capacity`` pads the
     segment arrays to a static size so scenarios with different via counts
     batch together; it must be >= n_via - 1 + (nr_segs - 1).
+
+    Returns a NUMPY pytree: path construction is host-side config work, and
+    eager per-leaf device transfers cost ~25 ms each through the TPU tunnel
+    (21 leaves x B scenarios dominated large-fleet setup).  Batching layers
+    stack scenarios host-side and transfer once per leaf; jit consumes numpy
+    leaves directly for the single-scenario runners.
     """
     from scipy.spatial.transform import Rotation as R
 
@@ -226,27 +232,27 @@ def build_path(
     )
 
     return PathData(
-        seg_p0=jnp.asarray(pad_seg(np.stack(p[:S]))),
-        seg_iw=jnp.asarray(pad_seg(np.stack(iw[:S]))),
-        seg_dp=jnp.asarray(pad_seg(dp_unit)),
-        seg_dr=jnp.asarray(pad_seg(seg_dr)),
-        seg_dr_unit=jnp.asarray(pad_seg(seg_dr_unit)),
-        seg_len=jnp.asarray(pad_seg(np.asarray(seg_len))),
-        phi_start=jnp.asarray(phi_start_pad),
-        bp1=jnp.asarray(pad_seg(np.stack(bp1_l))),
-        bp2=jnp.asarray(pad_seg(np.stack(bp2_l))),
-        br1=jnp.asarray(pad_seg(np.stack(br1_l))),
-        br2=jnp.asarray(pad_seg(np.stack(br2_l))),
-        asymm_lower=jnp.asarray(pad_seg(asymm_lower)),
-        asymm_upper=jnp.asarray(pad_seg(asymm_upper)),
-        via_rotvec=jnp.asarray(pad_to(via_rotvec, capacity + 1)),
-        phi_max=jnp.asarray(phi_max, dtype=dtype),
-        n_real=jnp.asarray(n_real, dtype=jnp.int32),
-        s=jnp.asarray(s, dtype=dtype),
-        e_p_min=jnp.asarray(e_p_min, dtype=dtype),
-        e_r_min=jnp.asarray(e_r_min, dtype=dtype),
-        e_p_max=jnp.asarray(e_p_max, dtype=dtype),
-        e_r_max=jnp.asarray(e_r_max, dtype=dtype),
+        seg_p0=pad_seg(np.stack(p[:S])),
+        seg_iw=pad_seg(np.stack(iw[:S])),
+        seg_dp=pad_seg(dp_unit),
+        seg_dr=pad_seg(seg_dr),
+        seg_dr_unit=pad_seg(seg_dr_unit),
+        seg_len=pad_seg(np.asarray(seg_len)),
+        phi_start=np.asarray(phi_start_pad, dtype=dtype),
+        bp1=pad_seg(np.stack(bp1_l)),
+        bp2=pad_seg(np.stack(bp2_l)),
+        br1=pad_seg(np.stack(br1_l)),
+        br2=pad_seg(np.stack(br2_l)),
+        asymm_lower=pad_seg(asymm_lower),
+        asymm_upper=pad_seg(asymm_upper),
+        via_rotvec=pad_to(via_rotvec, capacity + 1),
+        phi_max=np.asarray(phi_max, dtype=dtype),
+        n_real=np.asarray(n_real, dtype=np.int32),
+        s=np.asarray(s, dtype=dtype),
+        e_p_min=np.asarray(e_p_min, dtype=dtype),
+        e_r_min=np.asarray(e_r_min, dtype=dtype),
+        e_p_max=np.asarray(e_p_max, dtype=dtype),
+        e_r_max=np.asarray(e_r_max, dtype=dtype),
     )
 
 

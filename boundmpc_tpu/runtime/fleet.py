@@ -34,7 +34,8 @@ class FleetStats:
 class FleetRunner:
     def __init__(self, scenarios: List[Scenario],
                  solver_cfg: Optional[solver_mod.SolverConfig] = None,
-                 dtype=jnp.float32, telemetry_path: Optional[str] = None):
+                 dtype=jnp.float32, telemetry_path: Optional[str] = None,
+                 mpcdata_path: Optional[str] = None):
         assert scenarios, "need at least one scenario"
         self.B = len(scenarios)
         sc0 = scenarios[0]
@@ -49,12 +50,13 @@ class FleetRunner:
                 else jnp.asarray(a), tree,
             )
 
-        # Same capacity across the fleet so paths stack.
+        # Same capacity across the fleet so paths stack.  Stack host-side
+        # (build_path returns numpy), cast/transfer ONCE per leaf.
         caps = [len(s.p_via) - 1 + s.nr_segs - 1 for s in scenarios]
         cap = max(caps)
-        self.paths = batch_mod.stack_paths(
-            [cast(s.build(capacity=cap, dtype=np.float64)) for s in scenarios]
-        )
+        built = [s.build(capacity=cap, dtype=np.float64) for s in scenarios]
+        self.paths = cast(jax.tree.map(lambda *xs: np.stack(xs, axis=0),
+                                       *built))
         self.states = batch_mod.batched_init_state(
             self.cfg, np.stack([s.q0 for s in scenarios]), dtype=dtype
         )
@@ -64,6 +66,10 @@ class FleetRunner:
             np.stack([[p - 1e-4, 0.0, 0.0] for p in phim]), dtype
         )
         self._tick = batch_mod.make_batched_tick(self.cfg, self.scfg, dtype=dtype)
+        # Setup-time QR prefactor of the linear residual block (one batched
+        # QR per fleet; per tick only a skinny matvec remains).
+        self._pref = batch_mod.make_prefactor_batch(
+            self.cfg, self.paths, self.weights, self.x_phi_d, dtype=dtype)
 
         self._sink = None
         if telemetry_path is not None:
@@ -72,16 +78,42 @@ class FleetRunner:
                             "success", "error_count"]
             self._sink = TelemetrySink(telemetry_path, self._fields)
 
+        # MPCData-grade stream: the full per-tick horizon payload
+        # (nodes/bound_mpc_node.py:169-290 analog) through the native sink.
+        self._mpc_writer = None
+        if mpcdata_path is not None:
+            from .mpcdata import MPCDataWriter
+            from .. import jerkint, ocp as ocp_mod
+            coeffs = jerkint.coeff_matrices(self.cfg.N, self.cfg.dt,
+                                            dtype=dtype)
+            self._mpc_writer = MPCDataWriter(mpcdata_path, self.cfg)
+            self._ev = jax.jit(jax.vmap(
+                lambda p, u: ocp_mod.evaluate_stages(self.cfg, coeffs, p, u)))
+
     def run(self, ticks: int = 100) -> FleetStats:
         states = self.states
         times = []
-        last_out = None
+        succ_sum = 0.0
+        succ_n = 0
+        max_viol = 0.0
         for k in range(ticks):
             t0 = time.perf_counter()
-            states, out = self._tick(states, self.paths, self.weights, self.x_phi_d)
+            states, out = self._tick(states, self.paths, self.weights,
+                                     self.x_phi_d, self._pref)
             jax.block_until_ready(states.phi)
             times.append(time.perf_counter() - t0)
-            last_out = out
+            # Aggregate correctness over EVERY tick, not just the last one —
+            # a transient mid-run failure wave must show in the stats (the
+            # reference's `fails` series is likewise cumulative,
+            # bound_mpc_node.py:310).
+            succ = np.asarray(out.success)
+            succ_sum += float(succ.sum())
+            succ_n += succ.size
+            max_viol = max(max_viol, float(np.asarray(out.stats.viol).max()))
+            if self._mpc_writer is not None:
+                ev = self._ev(out.params, jnp.asarray(out.u))
+                self._mpc_writer.push_tick(k, states, out, ev.err, ev.ref,
+                                           times[-1])
             if self._sink is not None:
                 phi = np.asarray(states.phi)
                 recs = np.stack([
@@ -98,6 +130,8 @@ class FleetRunner:
         self.states = states
         if self._sink is not None:
             self._sink.flush()
+        if self._mpc_writer is not None:
+            self._mpc_writer.flush()
 
         times = np.asarray(times[1:]) if len(times) > 1 else np.asarray(times)
         return FleetStats(
@@ -105,8 +139,8 @@ class FleetRunner:
             solves_per_s=float(self.B / np.median(times)),
             tick_ms_median=float(np.median(times) * 1e3),
             tick_ms_p99=float(np.percentile(times, 99) * 1e3),
-            success_rate=float(np.asarray(last_out.success).mean()),
-            max_viol=float(np.asarray(last_out.stats.viol).max()),
+            success_rate=succ_sum / max(succ_n, 1),
+            max_viol=max_viol,
             mean_phi=float(np.asarray(self.states.phi).mean()),
         )
 
@@ -131,3 +165,6 @@ class FleetRunner:
         if self._sink is not None:
             self._sink.close()
             self._sink = None
+        if self._mpc_writer is not None:
+            self._mpc_writer.close()
+            self._mpc_writer = None

@@ -48,11 +48,35 @@ class RunLog:
     horizon_q: List[np.ndarray] = field(default_factory=list)  # (N, 7)
     horizon_phi: List[np.ndarray] = field(default_factory=list)  # (N,)
     horizon_p: List[np.ndarray] = field(default_factory=list)  # (N, 6)
+    # Full-horizon histories (Logger.py:54-80 analog)
+    horizon_dq: List[np.ndarray] = field(default_factory=list)  # (N, 7)
+    horizon_ddq: List[np.ndarray] = field(default_factory=list)  # (N, 7)
+    horizon_dddq: List[np.ndarray] = field(default_factory=list)  # (N, 7)
+    horizon_dphi: List[np.ndarray] = field(default_factory=list)  # (N,)
+    horizon_ddphi: List[np.ndarray] = field(default_factory=list)  # (N,)
+    horizon_v: List[np.ndarray] = field(default_factory=list)  # (N, 6)
     # Lie-linearization regression series (Plotter.py:96-135, 240-247):
     # plane coords are (orth1, orth2, par)
     horizon_e_r_lin: List[np.ndarray] = field(default_factory=list)  # (N, 3)
     horizon_e_r_true: List[np.ndarray] = field(default_factory=list)  # (N, 3)
     v: List[np.ndarray] = field(default_factory=list)  # (6,) measured twist
+    # Stage-0 (t_1) error/reference series as the MPC computed them
+    # (Logger.py e_p/de_p/e_r/... analogs; the node publishes err_data[0])
+    e_p: List[np.ndarray] = field(default_factory=list)  # (3,)
+    de_p: List[np.ndarray] = field(default_factory=list)  # (3,)
+    e_p_par: List[np.ndarray] = field(default_factory=list)  # (3,)
+    e_p_orth: List[np.ndarray] = field(default_factory=list)  # (3,)
+    e_r: List[np.ndarray] = field(default_factory=list)  # (3,) linearized
+    de_r: List[np.ndarray] = field(default_factory=list)  # (3,)
+    e_r_par: List[np.ndarray] = field(default_factory=list)  # (3,)
+    e_r_orth1: List[np.ndarray] = field(default_factory=list)  # (3,)
+    e_r_orth2: List[np.ndarray] = field(default_factory=list)  # (3,)
+    p_ref: List[np.ndarray] = field(default_factory=list)  # (6,) stage-0 ref
+    dp_ref: List[np.ndarray] = field(default_factory=list)  # (6,)
+    # Timing split (bound_mpc_node.py:363-365): t_comp = solve, t_loop =
+    # whole control period, t_overhead = t_loop - t_comp
+    t_loop: List[float] = field(default_factory=list)
+    t_overhead: List[float] = field(default_factory=list)
 
     def arrays(self) -> Dict[str, np.ndarray]:
         return {k: np.asarray(v) for k, v in self.__dict__.items()}
@@ -87,8 +111,16 @@ class ClosedLoopRunner:
         self._tick = jax.jit(
             partial(engine.tick, self.cfg, self.scfg, self.coeffs, self.limits)
         )
+        self._pref = jax.jit(partial(solver_mod.make_prefactor, self.cfg,
+                                     dtype=dtype))(
+            self.path.phi_max, self.weights, self.x_phi_d)
         from ..observability.horizon import make_horizon_eval
         self._horizon_eval = make_horizon_eval(self.cfg, self.coeffs)
+
+        def _err_eval(params, u):
+            ev = ocp.evaluate_stages(self.cfg, self.coeffs, params, u)
+            return ev.err, ev.ref.p_d, ev.ref.dp_d
+        self._err_eval = jax.jit(_err_eval)
 
     def replan(self, scenario: Scenario, velocity_lookahead: bool = True):
         """Mid-run path replacement (the node's Trajectory update=true
@@ -121,6 +153,9 @@ class ClosedLoopRunner:
         self.state = jax.jit(partial(engine.replan_state, self.cfg))(
             self.state, new_path
         )
+        self._pref = jax.jit(partial(solver_mod.make_prefactor, self.cfg,
+                                     dtype=self.dtype))(
+            new_path.phi_max, self.weights, self.x_phi_d)
 
     def run(self, max_ticks: int = 400, stop_tol: float = 0.01,
             verbose: bool = False) -> RunLog:
@@ -132,7 +167,8 @@ class ClosedLoopRunner:
         for k in range(max_ticks):
             t0 = time.perf_counter()
             prev_pr_ref, prev_phi = state.pr_ref, state.phi
-            state, out = self._tick(state, self.path, self.weights, self.x_phi_d)
+            state, out = self._tick(state, self.path, self.weights,
+                                    self.x_phi_d, pref=self._pref)
             jax.block_until_ready(state.phi)
             t_comp = time.perf_counter() - t0
 
@@ -166,9 +202,34 @@ class ClosedLoopRunner:
             log.horizon_q.append(np.asarray(out.traj.q))
             log.horizon_phi.append(np.asarray(out.traj.phi))
             log.horizon_p.append(np.asarray(out.traj.p))
+            log.horizon_dq.append(np.asarray(out.traj.dq))
+            log.horizon_ddq.append(np.asarray(out.traj.ddq))
+            log.horizon_dddq.append(np.asarray(out.u)[:, :7])
+            log.horizon_dphi.append(np.asarray(out.traj.dphi))
+            log.horizon_ddphi.append(np.asarray(out.traj.ddphi))
+            log.horizon_v.append(np.asarray(out.traj.v))
             log.horizon_e_r_lin.append(np.asarray(er_lin))
             log.horizon_e_r_true.append(np.asarray(er_true))
             log.v.append(np.asarray(out.params.v0))
+
+            # Stage-0 MPC-computed errors/references (node publishes the
+            # first horizon entry of err_data/ref_data; the post-tick plant
+            # state IS stage 1, so these pair exactly with q/phi above).
+            err, p_d, dp_d = self._err_eval(out.params, jnp.asarray(out.u))
+            log.e_p.append(np.asarray(err.e_p[0]))
+            log.de_p.append(np.asarray(err.de_p[0]))
+            log.e_p_par.append(np.asarray(err.e_p_par[0]))
+            log.e_p_orth.append(np.asarray(err.e_p_orth[0]))
+            log.e_r.append(np.asarray(err.e_r[0]))
+            log.de_r.append(np.asarray(err.de_r[0]))
+            log.e_r_par.append(np.asarray(err.e_r_par[0]))
+            log.e_r_orth1.append(np.asarray(err.e_r_orth1[0]))
+            log.e_r_orth2.append(np.asarray(err.e_r_orth2[0]))
+            log.p_ref.append(np.asarray(p_d[0]))
+            log.dp_ref.append(np.asarray(dp_d[0]))
+            t_loop = time.perf_counter() - t0
+            log.t_loop.append(t_loop)
+            log.t_overhead.append(t_loop - t_comp)
 
             if verbose:
                 print(f"tick {k:3d} phi {log.phi[-1]:.3f}/{self.phi_max:.3f} "

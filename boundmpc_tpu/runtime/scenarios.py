@@ -9,15 +9,27 @@ generates randomized batched variants of them for throughput benchmarking
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import List
 
 import numpy as np
 from scipy.spatial.transform import Rotation as R
 
+import jax
 import jax.numpy as jnp
 
 from .. import kinematics as kin
 from ..path import PathData, build_path
+
+
+@lru_cache(maxsize=None)
+def _pose0(q0_key: tuple) -> np.ndarray:
+    """Memoized + jitted FK of a scenario start pose.  The unrolled scalar
+    FK is hundreds of ops; evaluated EAGERLY through the TPU tunnel it costs
+    seconds PER CALL (~25 ms per op dispatch), and scenario builders call it
+    once per scenario — jit + memoize or large-B batch construction takes
+    minutes."""
+    return np.array(jax.jit(kin.fk_pose)(jnp.asarray(q0_key)))
 
 
 def default_weights() -> np.ndarray:
@@ -77,7 +89,7 @@ def experiment1() -> Scenario:
     q0[3] = -np.pi / 3.5
     q0[5] = -12.85714286 * np.pi / 180
 
-    pose0 = np.array(kin.fk_pose(jnp.asarray(q0)))
+    pose0 = _pose0(tuple(q0))
     p0 = pose0[:3]
     r0 = R.from_rotvec(pose0[3:])
 
@@ -113,7 +125,7 @@ def experiment2() -> Scenario:
     q0[3] = -np.pi / 1.8
     q0[5] = np.pi / 2 - np.pi / 1.8
 
-    pose0 = np.array(kin.fk_pose(jnp.asarray(q0)))
+    pose0 = _pose0(tuple(q0))
     p0 = pose0[:3]
     r0 = R.from_rotvec(pose0[3:])
 
@@ -169,7 +181,7 @@ def default_path(q0: np.ndarray | None = None, nr_segs: int = 2) -> Scenario:
     pose as via points with wide-open bounds.  Used by the reference node as
     the pre-trajectory placeholder; useful here as a rest/hold scenario."""
     q0 = np.zeros(7) if q0 is None else np.asarray(q0, float)
-    pose0 = np.array(kin.fk_pose(jnp.asarray(q0)))
+    pose0 = _pose0(tuple(q0))
     p0 = pose0[:3]
     r0 = R.from_rotvec(pose0[3:]).as_matrix()
 

@@ -51,6 +51,18 @@ class SolverConfig(NamedTuple):
     ls_decay: float = 0.7
     armijo: float = 1e-4
     tol_step: float = 1e-8  # convergence: max |du|
+    # Stagnation-based convergence (the reachable f32 criterion).  The
+    # condensed objective has a nearly-flat subspace (jerk-knot weight 1e-4),
+    # so near the optimum the damped Newton step du stays O(1) while the
+    # merit improves by < 1e-6 relative — a pure |du| tolerance never fires
+    # in float32 (measured: conv ~0.1 at tol 1e-5, every tick burning all 40
+    # iterations).  Instead a lane is converged once, AT the final barrier
+    # weight and FEASIBLE, the merit has stagnated for ``stall_iters``
+    # consecutive iterations (relative decrease < tol_merit, or no improving
+    # line-search candidate at all — the f32 noise floor).
+    tol_merit: float = 1e-6  # relative merit decrease considered progress
+    tol_feas: float = 3e-5  # in-loop feasibility gate (sum of violations)
+    stall_iters: int = 0  # 0 disables (float64 parity runs stay strict)
     # KKT step method:
     #   "qr"       — stacked weighted least squares via Householder QR with
     #                EXACT row reduction (see the block comment in solve()):
@@ -69,13 +81,10 @@ class SolverConfig(NamedTuple):
     #                TPU.
     #   "qr_full"  — the same step without row reduction (reference
     #                implementation the reduced stack is tested against).
-    #   "woodbury" — capped-weight Cholesky + rank-k active-set correction
-    #                via an explicit k x k solve.  Matmul-only and exact in
-    #                f64, but NOT f32-robust: the correction system inherits
-    #                near-collinear active rows whose tiny 1/dw
-    #                regularization underflows the f32 solve — measured
-    #                divergence on-chip at k_active 40 AND 128.  Kept for
-    #                benchmarking/f64 only.
+    # (A third "woodbury" method — capped-weight Cholesky + rank-k active-set
+    # correction — was measured DIVERGENT in f32 on-chip at k_active 40 and
+    # 128 and is retired from the production solver; the implementation
+    # survives as a study in experiments/debug_solve.py.)
     method: str = "qr"
     # Barrier weight for warm-started receding-horizon re-solves (the mu
     # continuation restart).  A cold solve must walk mu down from mu_init;
@@ -85,8 +94,6 @@ class SolverConfig(NamedTuple):
     # mirrors Ipopt's warm_start_init_point + small mu_init recipe
     # (reference options BoundMPC.py:120-148).
     mu_warm: float = 1e-4
-    w_cap: float = 1e5  # woodbury: barrier-weight cap in the base Hessian
-    k_active: int = 40  # woodbury: max extreme rows corrected exactly
     # Jacobian computation: "structured" (per-stage jacfwd + constant-map
     # assembly, ~3x less AD and a far simpler XLA program) or "ad" (full
     # 80-tangent jacfwd — the reference implementation the structured path
@@ -113,7 +120,14 @@ class SolverConfig(NamedTuple):
 # (the LM damping pre-scales steps, so deep backtracking is rarely needed).
 RUNTIME_F32 = SolverConfig(max_iters=40, delta=1e-7, reg=1e-6, tol_step=1e-5,
                            scale_constraints=True, method="qr", jac="ad",
-                           n_ls=8)
+                           n_ls=8, stall_iters=2,
+                           # Warm ticks resume AT the final barrier weight:
+                           # the previous optimum already sits on the mu_min
+                           # central path, so walking 1e-4 -> 1e-6 again
+                           # (5 accepted steps) is pure waste; combined with
+                           # the stagnation exit this is what lets warm lanes
+                           # converge in ~3 iterations instead of 40.
+                           mu_warm=1e-6)
 
 
 class SolveStats(NamedTuple):
@@ -121,6 +135,11 @@ class SolveStats(NamedTuple):
     converged: jnp.ndarray  # () bool
     obj: jnp.ndarray  # () objective at solution
     viol: jnp.ndarray  # () total constraint violation (reference metric)
+    # Diagnostics (postmortem + convergence-floor analysis); None for
+    # external solve_fns (oracle / fault-injection shims) that don't carry
+    # loop state.
+    step_inf: jnp.ndarray | None = None  # () last accepted |du|_inf
+    reg_final: jnp.ndarray | None = None  # () final Levenberg damping
 
 
 class _LoopState(NamedTuple):
@@ -130,6 +149,7 @@ class _LoopState(NamedTuple):
     k: jnp.ndarray  # () iteration counter
     done: jnp.ndarray  # () bool
     last_step: jnp.ndarray  # () max |du| of last accepted step
+    stall: jnp.ndarray  # () int32 consecutive stagnant iterations
 
 
 def _barrier(z, delta):
@@ -149,9 +169,46 @@ def _barrier_d2(z, delta):
     return jnp.where(z > delta, 1.0 / safe_z**2, 1.0 / delta**2)
 
 
+class QrPrefactor(NamedTuple):
+    """Tick-constant QR factorization of the weighted linear residual block
+    J_lin (32N, n): R0 upper triangular (n, n) and Q0^T (n, 32N).
+
+    J_lin depends only on (N, dt, adjusted weights) — constant across every
+    tick of a scenario — so the factorization belongs at SETUP time (the
+    analog of the reference pre-compiling its solver .so per (N, nr_segs),
+    BoundMPC.py:155-161).  Per tick only d0 = Q0^T c_lin is formed, a single
+    skinny matvec."""
+
+    R0: jnp.ndarray  # (n, n)
+    Q0T: jnp.ndarray  # (n, 32N)
+
+
+def adjusted_weights(path_phi_max, weights: jnp.ndarray,
+                     x_phi_d: jnp.ndarray) -> jnp.ndarray:
+    """The reference's weight-6 rescaling for short paths
+    (BoundMPC.py:398-403) — shared by the engine's parameter assembly and
+    the prefactor builder so both see identical J_lin weights."""
+    phi_max_global = path_phi_max - 1e-4
+    scaling = jnp.minimum(1.0 / jnp.maximum(phi_max_global, 1e-6) ** 2, 2.0)
+    w6 = jnp.where(x_phi_d[0] < 1.0, weights[6] * scaling, weights[6])
+    return weights.at[6].set(w6)
+
+
+def make_prefactor(cfg: ocp.OcpConfig, path_phi_max, weights: jnp.ndarray,
+                   x_phi_d: jnp.ndarray, dtype=jnp.float32) -> QrPrefactor:
+    """Factor the linear residual block once per scenario (vmap for fleets)."""
+    from . import jacobian as jmod
+    w_t = adjusted_weights(path_phi_max, jnp.asarray(weights, dtype),
+                           jnp.asarray(x_phi_d, dtype))
+    J_lin = jmod.linear_stack(cfg, w_t, dtype)
+    Q0, R0 = jnp.linalg.qr(J_lin)
+    return QrPrefactor(R0=R0, Q0T=Q0.T)
+
+
 def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
           params: ocp.OcpParams, u0: jnp.ndarray,
-          limits: kinematics.RobotLimits, mu0=None):
+          limits: kinematics.RobotLimits, mu0=None,
+          pref: QrPrefactor | None = None):
     """Minimize the condensed OCP from warm start ``u0`` (N, 8).
 
     Returns (u_opt (N, 8), SolveStats).  Pure function of its inputs —
@@ -161,6 +218,10 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
     barrier start — the engine passes ``scfg.mu_warm`` on warm-started ticks
     so the mu continuation resumes near the central path instead of
     restarting from the interior (SolverConfig.mu_warm).
+
+    ``pref`` (optional) supplies the setup-time QR prefactor of the linear
+    residual block; when absent it is built in-solve (same numerics, pays a
+    320 x n QR per call).
     """
     N, nu = cfg.N, cfg.nr_joints + 1
     n = N * nu
@@ -179,11 +240,10 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
     ls_alphas = scfg.ls_decay ** jnp.arange(scfg.n_ls, dtype=dtype)
 
     # --- one GN iteration -------------------------------------------------
-    if scfg.jac == "structured":
-        from . import jacobian as jmod
-        lmaps = jmod.linear_maps(cfg, dtype)
+    from . import jacobian as jmod
+    lmaps = jmod.linear_maps(cfg, dtype)
 
-    def _jacobians(u):
+    def _jacobians_full(u):
         if scfg.jac == "structured":
             return jmod.residuals_constraints_and_jacobians(
                 cfg, coeffs, lmaps, params, u.reshape(N, nu), limits,
@@ -198,14 +258,16 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
     # --- exact row reduction for the QR stack (method "qr") ---------------
     # Residual-row layout per stage (ocp.residuals): 18 state-dependent rows
     # (e_p 3, e_r 3, v 6, a 6) then 4*nj + 4 rows that are AFFINE in u with
-    # ITERATION-CONSTANT Jacobians (q, dq, ddq, u, phi-chain).  The affine
-    # block is QR-pre-factored ONCE per solve: 32 rows/stage collapse to one
-    # n x n triangular factor whose RHS is reproduced exactly per iteration
-    # as R0 u + Q0^T c_lin.  Box-constraint pairs (upper/lower share the
-    # same Jacobian row up to sign) merge into single rows with weight
-    # w_up + w_lo and RHS -mu (d1_up - d1_lo)/s — identical normal equations
-    # AND identical A^T b, so R and Q^T b match the full stack exactly.
-    # Net: m = 1100 rows -> 550, halving the TSQR kernel's work.
+    # CONSTANT Jacobians (q, dq, ddq, u, phi-chain).  The affine block's QR
+    # factor is a pure function of (N, dt, weights) — supplied by the
+    # setup-time ``pref`` or built here once — and its per-tick RHS is
+    # reproduced exactly as R0 u + Q0^T c_lin with c_lin from one zero-input
+    # rollout (jacobian.linear_offsets).  Box-constraint pairs (upper/lower
+    # share the same Jacobian row up to sign) merge into single rows with
+    # weight w_up + w_lo and RHS -mu (d1_up - d1_lo)/s — identical normal
+    # equations AND identical A^T b, so R and Q^T b match the full stack
+    # exactly.  Net: m = 1100 rows -> 550, halving the TSQR kernel's work,
+    # with NO per-iteration AD on any affine row.
     if scfg.method == "qr":
         import numpy as onp
 
@@ -213,8 +275,6 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         blk = 18 + 4 * nj + 4
         dyn_idx = (onp.arange(N)[:, None] * blk
                    + onp.arange(18)[None, :]).ravel()
-        lin_idx = (onp.arange(N)[:, None] * blk
-                   + onp.arange(18, blk)[None, :]).ravel()
         nlN, qN, phiN = 5 * N, nj * N, N
         s_nl = slice(0, nlN)
         s_qup = slice(nlN, nlN + qN)
@@ -228,23 +288,30 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         s_uup = slice(off + 3 * phiN, off + 3 * phiN + n)
         s_ulo = slice(off + 3 * phiN + n, off + 3 * phiN + 2 * n)
 
-        u0f = u0.reshape(-1).astype(dtype)
-        r0, c0, Jr0, Jc0 = _jacobians(u0f)
-        J_lin = Jr0[lin_idx]  # (32 N, n), iteration-constant
-        c_lin = r0[lin_idx] - J_lin @ u0f
-        Q0, R0 = jnp.linalg.qr(J_lin)
-        d0 = Q0.T @ c_lin
-        Jq0 = Jc0[s_qup]
-        Jdq0 = Jc0[s_dqup]
-        Jphi0 = Jc0[s_phimax]
-        Jdphi0 = Jc0[s_dphi]
+        # Constant box-constraint jacobians (trace-time numpy, zero runtime)
+        Jq0, Jdq0, Jphi0, Jdphi0 = jmod.box_jacobians(cfg, dtype)
+        if pref is None:
+            J_lin = jmod.linear_stack(cfg, params.weights, dtype)
+            Q0, R0 = jnp.linalg.qr(J_lin)
+            Q0T = Q0.T
+        else:
+            R0, Q0T = pref.R0, pref.Q0T
+        c_lin = jmod.linear_offsets(cfg, coeffs, params, dtype)
+        d0 = Q0T @ c_lin
+
+        def _jacobians_reduced(u):
+            """(r, c, Jr_dyn (18N, n), Jc_nl (5N, n)) — jacobians only for
+            the FK-coupled rows; affine rows are covered by R0/constants."""
+            if scfg.jac == "structured":
+                return jmod.reduced_jacobians(
+                    cfg, coeffs, lmaps, params, u.reshape(N, nu), limits,
+                    scaled=scfg.scale_constraints,
+                )
+            r, c, Jr, Jc = _jacobians_full(u)
+            return r, c, Jr[dyn_idx], Jc[s_nl]
 
     def step(st: _LoopState) -> _LoopState:
         u, mu, reg = st.u, st.mu, st.reg
-        r, c, Jr, Jc = _jacobians(u)
-
-        z = -c
-        g = 2.0 * (Jr.T @ r) - mu * (Jc.T @ _barrier_d1(z, scfg.delta))
 
         # Newton/GN step as a WEIGHTED LEAST SQUARES solve via QR.  The
         # barrier curvature mu * beta''(z) reaches 1/delta^2-scale weights, so
@@ -255,9 +322,23 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         #     A = [sqrt(2) Jr; sqrt(W) Jc; sqrt(reg) I],
         #     b = [sqrt(2) r; rho; 0],   rho = mu beta' / sqrt(W)
         # => A^T A du = -A^T b  ==  H du = -g.
-        w = mu * _barrier_d2(z, scfg.delta)
         if scfg.method == "qr":
+            r, c, Jr_dyn, Jc_nl = _jacobians_reduced(u)
+            z = -c
             d1 = _barrier_d1(z, scfg.delta)
+            w = mu * _barrier_d2(z, scfg.delta)
+            r_dyn = r[dyn_idx]
+            lin_r = R0 @ u + d0  # == Q0^T r_lin(u), exact
+            # Full gradient from the reduced pieces (identical to
+            # 2 Jr^T r - mu Jc^T d1 with the full stacks):
+            g = 2.0 * (Jr_dyn.T @ r_dyn + R0.T @ lin_r) - mu * (
+                Jc_nl.T @ d1[s_nl]
+                + Jq0.T @ (d1[s_qup] - d1[s_qlo])
+                + Jdq0.T @ (d1[s_dqup] - d1[s_dqlo])
+                + Jphi0.T @ (d1[s_phimax] - d1[s_negphi])
+                + Jdphi0.T @ d1[s_dphi]
+                + (d1[s_uup] - d1[s_ulo])
+            )
             sq2 = jnp.sqrt(jnp.asarray(2.0, dtype))
             sqw_nl = jnp.sqrt(w[s_nl])
             s_q = jnp.sqrt(w[s_qup] + w[s_qlo])
@@ -266,9 +347,9 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
             sqw_dphi = jnp.sqrt(w[s_dphi])
             s_u = jnp.sqrt(w[s_uup] + w[s_ulo] + reg)  # +I rows; reg folded
             A = jnp.concatenate([
-                sq2 * Jr[dyn_idx],
+                sq2 * Jr_dyn,
                 sq2 * R0,
-                sqw_nl[:, None] * Jc[s_nl],
+                sqw_nl[:, None] * Jc_nl,
                 s_q[:, None] * Jq0,
                 s_dq[:, None] * Jdq0,
                 s_phi[:, None] * Jphi0,
@@ -276,8 +357,8 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
                 s_u[:, None] * jnp.eye(n, dtype=dtype),
             ], axis=0)
             b = jnp.concatenate([
-                sq2 * r[dyn_idx],
-                sq2 * (R0 @ u + d0),
+                sq2 * r_dyn,
+                sq2 * lin_r,
                 -mu * d1[s_nl] / sqw_nl,
                 -mu * (d1[s_qup] - d1[s_qlo]) / s_q,
                 -mu * (d1[s_dqup] - d1[s_dqlo]) / s_dq,
@@ -291,6 +372,10 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
             from .ops import tsqr as _tsqr
             du = _tsqr.ls_solve(A, b)
         elif scfg.method == "qr_full":
+            r, c, Jr, Jc = _jacobians_full(u)
+            z = -c
+            g = 2.0 * (Jr.T @ r) - mu * (Jc.T @ _barrier_d1(z, scfg.delta))
+            w = mu * _barrier_d2(z, scfg.delta)
             sqw = jnp.sqrt(w)
             rho = mu * _barrier_d1(z, scfg.delta) / jnp.maximum(sqw, 1e-30)
             sq2 = jnp.sqrt(jnp.asarray(2.0, dtype))
@@ -304,32 +389,7 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
             from .ops import tsqr as _tsqr
             du = _tsqr.ls_solve(A, b)
         else:
-            # Matmul-only step: cap the barrier weights so the base Hessian
-            # is float32-Cholesky-safe (kappa ~ w_cap * |Jc row|^2 / reg),
-            # then restore the few extreme (near-active) rows EXACTLY with a
-            # Woodbury low-rank correction:
-            #   H = Hm + U^T dW U,  U = Jc[active], dW = w - w_cap
-            #   H^-1 g = Hm^-1 g - Hm^-1 U^T (dW^-1 + U Hm^-1 U^T)^-1 U Hm^-1 g
-            # As dW -> inf this tends to the exactly-projected KKT step; the
-            # inner k x k system stays well-conditioned because dW^-1 -> 0.
-            w_capped = jnp.minimum(w, scfg.w_cap)
-            Hm = 2.0 * (Jr.T @ Jr) + (Jc.T * w_capped[None, :]) @ Jc
-            Hm = Hm + reg * jnp.eye(n, dtype=dtype)
-            L = jnp.linalg.cholesky(Hm)
-
-            dw = jnp.maximum(w - scfg.w_cap, 0.0)
-            _, idx = jax.lax.top_k(dw, scfg.k_active)
-            dw_k = dw[idx]  # (k,)
-            U = Jc[idx]  # (k, n)
-
-            sol_g = jax.scipy.linalg.cho_solve((L, True), g)  # Hm^-1 g
-            sol_U = jax.scipy.linalg.cho_solve((L, True), U.T)  # Hm^-1 U^T
-            # Rows with dw == 0 are padding: a huge dW^-1 diagonal entry
-            # makes their correction vanish smoothly.
-            inv_dw = jnp.where(dw_k > 0.0, 1.0 / jnp.maximum(dw_k, 1e-30), 1e30)
-            S = jnp.diag(inv_dw) + U @ sol_U  # (k, k)
-            y = jnp.linalg.solve(S, U @ sol_g)
-            du = -(sol_g - sol_U @ y)
+            raise ValueError(f"unknown step method {scfg.method!r}")
         # Safety net: degenerate factorization -> scaled gradient step.
         du_ok = jnp.all(jnp.isfinite(du))
         du = jnp.where(du_ok, du, -g / (jnp.linalg.norm(g) + 1.0))
@@ -384,7 +444,26 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         done = at_final_mu & (
             (du_inf < scfg.tol_step) | (improved & (step_inf < scfg.tol_step))
         )
-        return _LoopState(u_new, mu_new, reg_new, st.k + 1, done, step_inf)
+        # Stagnation convergence (see SolverConfig.tol_merit): at final mu,
+        # FEASIBLE, and no meaningful merit decrease for stall_iters
+        # consecutive iterations.  m0 is this iterate's merit; cand_m[idx]
+        # the accepted candidate's.
+        if scfg.stall_iters > 0:
+            # Same per-row 1e-6 slack as the engine's success metric —
+            # without it, ACTIVE constraints sitting exactly on their bound
+            # (c ~ +f32 noise, amplified by the 1/bound^2 row scaling) keep
+            # `feas` false forever and the lane burns all max_iters while
+            # being perfectly feasible in reference units.
+            feas = jnp.sum(jnp.where(c > 1e-6, c, 0.0)) < scfg.tol_feas
+            rel_dec = (m0 - cand_m[idx]) / jnp.maximum(jnp.abs(m0), 1.0)
+            stagnant = at_final_mu & feas & (
+                (~improved) | (rel_dec < scfg.tol_merit))
+            stall_new = jnp.where(stagnant, st.stall + 1, 0)
+            done = done | (stall_new >= scfg.stall_iters)
+        else:
+            stall_new = st.stall
+        return _LoopState(u_new, mu_new, reg_new, st.k + 1, done, step_inf,
+                          stall_new)
 
     def cond(st: _LoopState):
         return (~st.done) & (st.k < scfg.max_iters)
@@ -397,6 +476,7 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         k=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         last_step=jnp.asarray(jnp.inf, dtype),
+        stall=jnp.asarray(0, jnp.int32),
     )
     out = jax.lax.while_loop(cond, step, init)
 
@@ -407,4 +487,5 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
     # Reference success metric: sum of violations beyond 1e-6 slack
     # (BoundMPC.py:460-465; all our constraints are c <= 0 one-sided).
     viol = jnp.sum(jnp.where(cfin > 1e-6, cfin, 0.0))
-    return u_opt, SolveStats(iters=out.k, converged=out.done, obj=obj, viol=viol)
+    return u_opt, SolveStats(iters=out.k, converged=out.done, obj=obj, viol=viol,
+                             step_inf=out.last_step, reg_final=out.reg)

@@ -21,8 +21,13 @@ def main():
     ap.add_argument("--ticks", type=int, default=50)
     ap.add_argument("--method", default=None, help="override solver method")
     ap.add_argument("--max-iters", type=int, default=None)
-    ap.add_argument("--k", type=int, default=None, help="override k_active")
-    ap.add_argument("--wcap", type=float, default=None, help="override w_cap")
+    ap.add_argument("--mu-warm", type=float, default=None)
+    ap.add_argument("--tol-step", type=float, default=None)
+    ap.add_argument("--n-ls", type=int, default=None)
+    ap.add_argument("--tol-feas", type=float, default=None)
+    ap.add_argument("--tol-merit", type=float, default=None)
+    ap.add_argument("--jac", default=None)
+    ap.add_argument("--delta", type=float, default=None)
     ap.add_argument("--platform", default=None, help="cpu to force local CPU")
     ap.add_argument("--subset", default=None,
                     help="comma-separated scenario indices (of the full "
@@ -33,6 +38,8 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from boundmpc_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -45,10 +52,20 @@ def main():
         scfg = scfg._replace(method=args.method)
     if args.max_iters:
         scfg = scfg._replace(max_iters=args.max_iters)
-    if args.k:
-        scfg = scfg._replace(k_active=args.k)
-    if args.wcap:
-        scfg = scfg._replace(w_cap=args.wcap)
+    if args.mu_warm is not None:
+        scfg = scfg._replace(mu_warm=args.mu_warm)
+    if args.tol_step is not None:
+        scfg = scfg._replace(tol_step=args.tol_step)
+    if args.n_ls is not None:
+        scfg = scfg._replace(n_ls=args.n_ls)
+    if args.tol_feas is not None:
+        scfg = scfg._replace(tol_feas=args.tol_feas)
+    if args.tol_merit is not None:
+        scfg = scfg._replace(tol_merit=args.tol_merit)
+    if args.jac is not None:
+        scfg = scfg._replace(jac=args.jac)
+    if args.delta is not None:
+        scfg = scfg._replace(delta=args.delta)
     print(f"platform={jax.devices()[0].platform} scfg={scfg}", flush=True)
 
     import jax.numpy as _j
@@ -63,19 +80,25 @@ def main():
         B = len(idx)
         print(f"subset of {args.B}: {[int(i) for i in idx]}")
     tick_b = batch.make_batched_tick(cfg, scfg, dtype=dtype, donate=False)
+    pref = batch.make_prefactor_batch(cfg, paths, weights, x_phi_d,
+                                      dtype=dtype)
 
+    import time
     first_bad = None
     for t in range(args.ticks):
-        states, out = tick_b(states, paths, weights, x_phi_d)
+        t0 = time.perf_counter()
+        states, out = tick_b(states, paths, weights, x_phi_d, pref)
         jax.block_until_ready(states.phi)
+        wall = time.perf_counter() - t0
         succ = np.asarray(out.success)
         viol = np.asarray(out.stats.viol)
         iters = np.asarray(out.stats.iters)
         conv = np.asarray(out.stats.converged)
         phi = np.asarray(states.phi)
         print(f"tick {t:3d}: success {succ.mean():.3f}  max_viol {viol.max():.3e}"
-              f"  med_iters {np.median(iters):.0f}  conv {conv.mean():.2f}"
-              f"  mean_phi {phi.mean():.3f}", flush=True)
+              f"  med_iters {np.median(iters):.0f}  max_iters {iters.max():d}"
+              f"  conv {conv.mean():.2f}"
+              f"  mean_phi {phi.mean():.3f}  {wall*1e3:6.1f}ms", flush=True)
         if first_bad is None and not succ.all():
             first_bad = (t, np.where(~succ)[0])
             print(f"  FIRST FAILURES at tick {t}: scenarios {first_bad[1][:10]}"

@@ -24,6 +24,11 @@ from boundmpc_tpu.solver import _barrier, _barrier_d1, _barrier_d2
 from __graft_entry__ import _build_batch
 
 
+# Retired-from-production woodbury/capped-Cholesky study knobs (solver.py
+# keeps only the qr/qr_full methods; see SolverConfig.method).
+W_CAP = 1e5
+K_ACTIVE = 40
+
 def debug_solve(cfg, scfg, coeffs, params, u0, limits, mu0, label=""):
     N, nu = cfg.N, cfg.nr_joints + 1
     n = N * nu
@@ -51,7 +56,7 @@ def debug_solve(cfg, scfg, coeffs, params, u0, limits, mu0, label=""):
         g = 2.0 * (Jr.T @ r) - mu * (Jc.T @ _barrier_d1(z, scfg.delta))
         w = mu * _barrier_d2(z, scfg.delta)
 
-        w_capped = jnp.minimum(w, scfg.w_cap)
+        w_capped = jnp.minimum(w, W_CAP)
         Hm = 2.0 * (Jr.T @ Jr) + (Jc.T * w_capped[None, :]) @ Jc
         Hm = Hm + scfg.reg * jnp.eye(n, dtype=dtype)
         # conditioning diagnostics in f64
@@ -64,18 +69,18 @@ def debug_solve(cfg, scfg, coeffs, params, u0, limits, mu0, label=""):
                    + scfg.reg * np.eye(n))
         evf = np.linalg.eigvalsh(Hfull64)
         kappa_full = evf[-1] / max(evf[0], 1e-300)
-        n_over = int(jnp.sum(w > scfg.w_cap))
+        n_over = int(jnp.sum(w > W_CAP))
 
         L = jnp.linalg.cholesky(Hm)
         Minv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(n, dtype=dtype))
 
         if scfg.method == "qr_reduced":
-            w_capped = jnp.minimum(w, scfg.w_cap)
+            w_capped = jnp.minimum(w, W_CAP)
             G = 2.0 * (Jr.T @ Jr) + (Jc.T * w_capped[None, :]) @ Jc
             G = G + scfg.reg * jnp.eye(n, dtype=dtype)
             L0c = jnp.linalg.cholesky(G)
             dwv = w - w_capped
-            dw_k, sidx = jax.lax.top_k(dwv, scfg.k_active)
+            dw_k, sidx = jax.lax.top_k(dwv, K_ACTIVE)
             sel = dw_k > 0.0
             sqdw = jnp.sqrt(jnp.maximum(dw_k, 1e-30))
             S = jnp.where(sel, sqdw, 0.0)[:, None] * Jc[sidx]
@@ -89,8 +94,8 @@ def debug_solve(cfg, scfg, coeffs, params, u0, limits, mu0, label=""):
             Qr_, Rr_ = jnp.linalg.qr(Ar)
             du = -jax.scipy.linalg.solve_triangular(Rr_, Qr_.T @ br_, lower=False)
         elif scfg.method == "woodbury":
-            dw = jnp.maximum(w - scfg.w_cap, 0.0)
-            _, sidx = jax.lax.top_k(dw, scfg.k_active)
+            dw = jnp.maximum(w - W_CAP, 0.0)
+            _, sidx = jax.lax.top_k(dw, K_ACTIVE)
             dw_k = dw[sidx]
             U = Jc[sidx]
             sol_g = jax.scipy.linalg.cho_solve((L, True), g)
@@ -203,9 +208,10 @@ def main():
     mu0 = scfg.mu_warm if bool(st.has_prev) and int(st.error_count) == 0 else scfg.mu_init
 
     method = os.environ.get("DBG_METHOD", "pcg")
-    k_active = int(os.environ.get("DBG_K", "40"))
-    scfg = scfg._replace(method=method, k_active=k_active)
-    print(f"=== f32 {method} k={k_active} replay ===")
+    global K_ACTIVE
+    K_ACTIVE = int(os.environ.get("DBG_K", "40"))
+    scfg = scfg._replace(method=method)
+    print(f"=== f32 {method} k={K_ACTIVE} replay ===")
     debug_solve(cfg, scfg, coeffs, params, st.u_warm, limits, mu0, "f32")
 
 

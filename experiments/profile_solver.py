@@ -106,7 +106,7 @@ def main():
     def chol_one(Jr, Jc, c, mu):
         with jax.default_matmul_precision("float32"):
             z = -c
-            w = jnp.minimum(mu * _barrier_d2(z, scfg.delta), scfg.w_cap)
+            w = jnp.minimum(mu * _barrier_d2(z, scfg.delta), 1e5)
             H = 2.0 * (Jr.T @ Jr) + (Jc.T * w[None, :]) @ Jc \
                 + scfg.reg * jnp.eye(n, dtype=dtype)
             L = jnp.linalg.cholesky(H)

@@ -84,6 +84,43 @@ def test_update_replans():
     assert traj_data is not None
 
 
+def test_update_with_new_dims_rebuilds_solver():
+    """An MPCParams record changing (n, nr_segs, dt) must rebuild the OCP
+    config, coefficients, and jitted tick — the reference node re-runs
+    BoundMPC.__init__ on every MPCParams arrival (bound_mpc_node.py:48,
+    BoundMPC.py:35-62).  Round-2 silently kept the old jitted tick."""
+    sc = experiment1()
+    mpc = BoundMPC(
+        sc.p_via, sc.r_via, [sc.p_upper, sc.p_lower], [sc.r_upper, sc.r_lower],
+        sc.bp1, sc.br1, sc.s, sc.e_p_min, sc.e_r_min, sc.e_p_max, sc.e_r_max,
+        p0=np.array(kin.fk_pose(jnp.asarray(sc.q0))),
+        params=MPCParams(weights=sc.weights.tolist()),
+    )
+    q, dq, ddq, jerk = sc.q0.copy(), np.zeros(7), np.zeros(7), np.zeros(7)
+    p_lie = np.array(kin.fk_pose(jnp.asarray(q)))
+    v = np.asarray(kin.jacobian(jnp.asarray(q))) @ dq
+    x_phi_d = np.array([mpc.phi_max[0], 0.0, 0.0])
+    traj_data, *_ = mpc.step(q, dq, ddq, p_lie, v, x_phi_d, jerk)
+    assert traj_data["q"].shape == (7, 10)
+
+    # Same path, new problem dimensions: longer horizon, finer dt.
+    new_params = MPCParams(n=14, dt=0.05, nr_segs=4,
+                           weights=sc.weights.tolist())
+    mpc.update(
+        sc.p_via, sc.r_via, [sc.p_upper, sc.p_lower], [sc.r_upper, sc.r_lower],
+        sc.bp1, sc.br1, sc.s, sc.e_p_min, sc.e_r_min, sc.e_p_max, sc.e_r_max,
+        p_lie, v, np.zeros(6), np.zeros(6), p0=p_lie, params=new_params,
+    )
+    assert mpc.N == 14 and mpc.dt == 0.05
+    assert mpc.cfg.N == 14 and mpc.cfg.dt == 0.05
+    assert mpc._state.u_warm.shape == (14, 8)
+    traj_data, *_ = mpc.step(q, dq, ddq, p_lie, v,
+                             np.array([mpc.phi_max[0], 0, 0]), jerk)
+    assert traj_data is not None
+    assert traj_data["q"].shape == (7, 14)
+    assert traj_data["phi"].shape == (14,)
+
+
 def _mpc_for(sc, **params_kw):
     return BoundMPC(
         sc.p_via, sc.r_via, [sc.p_upper, sc.p_lower], [sc.r_upper, sc.r_lower],

@@ -56,6 +56,93 @@ def test_replan_restarts_path():
     assert max(log2.viol[first_ok:]) < 1e-4
 
 
+def _straight_scenario(p_start, direction, r0mat):
+    """A gently-bent via path whose FIRST segment direction is ``direction``."""
+    from boundmpc_tpu.runtime.scenarios import Scenario
+    d = np.asarray(direction, float)
+    d = d / np.linalg.norm(d)
+    # small orthogonal bend keeps later segments non-degenerate
+    orth = np.cross(d, [0.0, 0.0, 1.0])
+    if np.linalg.norm(orth) < 1e-6:
+        orth = np.cross(d, [0.0, 1.0, 0.0])
+    orth /= np.linalg.norm(orth)
+    p_via = [np.asarray(p_start, float),
+             p_start + 0.5 * d,
+             p_start + 0.9 * d + 0.1 * orth,
+             p_start + 1.2 * d + 0.25 * orth,
+             p_start + 1.5 * d + 0.3 * orth]
+    ones = [np.array([1.0, 1.0]) for _ in range(5)]
+    neg = [np.array([-1.0, -1.0]) for _ in range(5)]
+    bz = [np.array([0.0, 0.0, 1.0]) for _ in range(5)]
+    return Scenario(
+        name="straight", q0=np.zeros(7), p_via=p_via,
+        r_via=[np.asarray(r0mat, float).copy() for _ in range(5)],
+        p_lower=neg, p_upper=ones, r_lower=[v.copy() for v in neg],
+        r_upper=[v.copy() for v in ones], bp1=bz,
+        br1=[v.copy() for v in bz], e_p_max=0.5,
+    )
+
+
+def test_replan_projection_matches_reference():
+    """Pin the replan velocity-projection semantics against the reference
+    (BoundMPC.update :198-210):
+
+    * FORWARD-motion replans (current Cartesian motion along the new first
+      segment) must reproduce the reference's UNCLAMPED projection exactly:
+      phi = <p - via0, dp0> (clamped into the segment, :349-364) and
+      (dphi, ddphi, dddphi) = (<v, dp0>, <a, dp0>, <j, dp0>) with NO
+      sign clamping of the acceleration/jerk projections.
+    * MOTION-OPPOSING replans keep the documented deviation: the path
+      parameter never runs backward, so the phi-chain restarts at rest
+      (engine.replan_state rationale)."""
+    from boundmpc_tpu import kinematics
+    from scipy.spatial.transform import Rotation as R
+
+    r = ClosedLoopRunner(experiment1())
+    r.run(max_ticks=20)
+    st = r.state
+    q, dq, ddq = st.q, st.dq, st.ddq
+    pose = np.array(kinematics.fk_pose(q))  # copy: scipy rejects jax views
+    J = np.asarray(kinematics.jacobian(q))
+    dJ = np.asarray(kinematics.djacobian(q, dq))
+    ddJ = np.asarray(kinematics.ddjacobian(q, dq, ddq))
+    v = J @ np.asarray(dq)
+    a = J @ np.asarray(ddq) + dJ @ np.asarray(dq)
+    j = J @ np.asarray(st.jerk) + dJ @ np.asarray(ddq) + ddJ @ np.asarray(dq)
+    assert np.linalg.norm(v[:3]) > 1e-3, "plant must be moving"
+
+    r0mat = R.from_rotvec(pose[3:]).as_matrix()
+
+    # --- forward case: new path direction = current velocity direction ----
+    d = v[:3] / np.linalg.norm(v[:3])
+    sc_fwd = _straight_scenario(pose[:3] - 0.05 * d, d, r0mat)
+    path_fwd = sc_fwd.build(dtype=np.float64)
+    st_fwd = engine.replan_state(r.cfg, st, path_fwd)
+    dp0 = np.asarray(path_fwd.seg_dp[0])
+    phi_exp = np.clip(np.dot(pose[:3] - np.asarray(path_fwd.seg_p0[0]), dp0),
+                      0.0, float(path_fwd.seg_len[0]) - 0.01)
+    assert float(st_fwd.phi) == pytest.approx(phi_exp, abs=1e-9)
+    assert float(st_fwd.dphi) == pytest.approx(float(np.dot(v[:3], dp0)),
+                                               abs=1e-9)
+    assert float(st_fwd.dphi) > 0.0
+    # acceleration / jerk projections are UNCLAMPED (sign preserved even
+    # when negative) — the reference applies no sign logic here
+    assert float(st_fwd.ddphi) == pytest.approx(float(np.dot(a[:3], dp0)),
+                                                abs=1e-9)
+    assert float(st_fwd.dddphi) == pytest.approx(float(np.dot(j[:3], dp0)),
+                                                 abs=1e-9)
+
+    # --- opposing case: new path direction = reversed velocity ------------
+    sc_rev = _straight_scenario(pose[:3] + 0.05 * d, -d, r0mat)
+    path_rev = sc_rev.build(dtype=np.float64)
+    st_rev = engine.replan_state(r.cfg, st, path_rev)
+    assert float(np.dot(v[:3], np.asarray(path_rev.seg_dp[0]))) < 0.0
+    assert float(st_rev.dphi) == 0.0
+    assert float(st_rev.ddphi) == 0.0
+    assert float(st_rev.dddphi) == 0.0
+    assert float(st_rev.phi) >= 0.0
+
+
 def test_fallback_counts_reset():
     """error_count stays 0 on a healthy run; dead never triggers."""
     r = ClosedLoopRunner(experiment1())

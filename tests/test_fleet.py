@@ -9,11 +9,10 @@ from boundmpc_tpu.runtime import FleetRunner, experiment1, random_scenario
 def _fleet(B=4, **kw):
     rng = np.random.default_rng(3)
     scs = [experiment1()] + [random_scenario(rng) for _ in range(B - 1)]
-    # 12 iterations: enough for the mu continuation to reach mu_min from a
-    # cold start (ceil(log(mu_min/mu_init)/log(mu_decay)) ~ 10); the round-1
-    # value of 6 could not converge cold ticks and flaked at viol ~ 1.6e-4.
-    return FleetRunner(scs, solver_cfg=solver_mod.SolverConfig(max_iters=12),
-                       **kw)
+    # The production f32 config: success_rate now aggregates over EVERY tick
+    # (including the cold first one), which needs the full iteration budget —
+    # a 12-iteration cold tick sits at viol ~1e-2 and honestly counts failed.
+    return FleetRunner(scs, solver_cfg=solver_mod.RUNTIME_F32, **kw)
 
 
 def test_fleet_progresses():

@@ -49,7 +49,45 @@ _WORKER = textwrap.dedent("""
         (8,), sh, lambda idx: np.arange(8, dtype=np.float32)[idx])
     total = float(fleet_total(x))
     assert total == float(np.arange(8).sum()), total
-    print(f"proc {{pid}}: ok, psum={{total}}")
+
+    # --- full ENGINE ticks across the process boundary ------------------
+    # Every process builds the same global batch host-side, contributes its
+    # addressable shards, and the sharded production tick runs with ICI/DCN
+    # metric reductions — two real processes driving one fleet.
+    from boundmpc_tpu import ocp, solver as solver_mod
+    from boundmpc_tpu.distributed import ShardedEngine
+    from __graft_entry__ import _build_batch
+
+    cfg = ocp.OcpConfig()
+    scfg = solver_mod.RUNTIME_F32
+    B = 4
+    states, paths, weights, x_phi_d = _build_batch(B, cfg)
+
+    def shard_tree(tree):
+        def put(leaf):
+            arr = np.asarray(leaf)
+            s = NamedSharding(mesh, P("scenario"))
+            return jax.make_array_from_callback(
+                arr.shape, s, lambda idx: arr[idx])
+        return jax.tree.map(put, tree)
+
+    states = shard_tree(states)
+    paths = shard_tree(paths)
+    weights = shard_tree(weights)
+    x_phi_d = shard_tree(x_phi_d)
+
+    eng = ShardedEngine(cfg, scfg, mesh, dtype=jnp.float32)
+    phi_prev = -1.0
+    for t in range(3):
+        states, outs, metrics = eng.tick(states, paths, weights, x_phi_d)
+        jax.block_until_ready(states.phi)
+        n_success = int(metrics["n_success"])
+        mean_phi = float(metrics["mean_phi"])
+        assert n_success == B, (t, n_success)
+        assert int(metrics["n_dead"]) == 0
+        assert mean_phi > phi_prev, (t, mean_phi, phi_prev)
+        phi_prev = mean_phi
+    print(f"proc {{pid}}: ok, psum={{total}}, engine_phi={{phi_prev:.5f}}")
 """).format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -80,7 +118,7 @@ def test_init_multihost_two_processes(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=480)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
