@@ -86,16 +86,62 @@ def main():
         jax.block_until_ready(states.phi)
         lat.append(time.perf_counter() - t0)
 
-    # XLA's own FLOP count for the fused-scan program (for the MFU report).
-    scan_flops = None
+    # FLOP accounting for the MFU report.  XLA's cost_analysis counts a
+    # while-loop body ONCE (trip count is dynamic), so the scanned tick
+    # reports ~0; instead we lower the three straight-line components of one
+    # GN iteration (jacobian sweep, TSQR step, line search), take XLA's own
+    # flop counts for those, and multiply by the MEASURED per-lane iteration
+    # counts.  This is a lower bound (excludes per-tick fixed work).
+    iter_flops = None
     try:
-        lowered = scan_b.lower(states, paths, weights, x_phi_d, pref)
-        cost = lowered.compile().cost_analysis()
-        if cost:
-            ca = cost[0] if isinstance(cost, (list, tuple)) else cost
-            scan_flops = float(ca.get("flops", 0.0)) or None
+        from functools import partial as _partial
+        import jax.numpy as _jnp
+        from boundmpc_tpu import engine as _eng, jerkint as _ji, \
+            kinematics as _kin
+        from boundmpc_tpu.ops import tsqr as _tsqr
+        from boundmpc_tpu.solver import _barrier as _bar
+
+        _coeffs = _ji.coeff_matrices(cfg.N, cfg.dt, dtype=_jnp.float32)
+        _limits = jax.tree.map(
+            lambda a: _jnp.asarray(a, _jnp.float32)
+            if isinstance(a, _jnp.ndarray) else a, _kin.robot_limits())
+        ap_b = jax.jit(jax.vmap(_partial(_eng.assemble_params, cfg)))
+        params_s = ap_b(states, paths, weights, x_phi_d)
+        n = cfg.N * (cfg.nr_joints + 1)
+        u_s = states.u_warm.reshape(B, -1)
+
+        def _rc(p, uf):
+            return ocp.residuals_and_constraints(
+                cfg, _coeffs, p, uf.reshape(cfg.N, cfg.nr_joints + 1),
+                _limits, scaled=scfg.scale_constraints)
+
+        def _jac(p, uf):
+            return jax.vmap(lambda t: jax.jvp(lambda v: _rc(p, v),
+                                              (uf,), (t,))[1],
+                            out_axes=(1, 1))(jnp.eye(n, jnp.float32))
+
+        def _ls(p, uf, du):
+            al = scfg.ls_decay ** jnp.arange(scfg.n_ls, dtype=jnp.float32)
+
+            def merit(v):
+                r, c = _rc(p, v)
+                return jnp.sum(r * r) + 1e-6 * jnp.sum(_bar(-c, scfg.delta))
+            return jax.vmap(lambda a: merit(uf + a * du))(al)
+
+        def _flops(fn, *xs):
+            c = jax.jit(fn).lower(*xs).compile().cost_analysis()
+            ca = c[0] if isinstance(c, (list, tuple)) else c
+            return float(ca.get("flops", 0.0))
+
+        A_s = jnp.zeros((B, 550, n), jnp.float32)
+        b_s = jnp.zeros((B, 550), jnp.float32)
+        iter_flops = (
+            _flops(jax.vmap(_jac), params_s, u_s)
+            + _flops(lambda A, b: _tsqr.tsqr_ls_solve(A, b), A_s, b_s)
+            + _flops(jax.vmap(_ls), params_s, u_s, u_s)
+        )
     except Exception:
-        pass
+        iter_flops = None
 
     # Fused-scan throughput + correctness over the same ticks.
     succ_all, viol_all, iters_all = [], [], []
@@ -190,9 +236,13 @@ def main():
         "b256_solves_per_s": round(solves_per_s, 1),
         "batch_sweep": sweep,
     }
-    if scan_flops is not None:
-        tflops_achieved = scan_flops / (per_tick * K) / 1e12
+    if iter_flops:
+        # Mean iterations actually run per lockstep tick = the max over
+        # lanes (the while_loop runs until the slowest lane is done).
+        iters_per_tick = float(iters_all.max(axis=1).mean())
+        tflops_achieved = iter_flops * iters_per_tick / per_tick / 1e12
         result["achieved_tflops"] = round(tflops_achieved, 3)
+        result["flops_per_iteration"] = iter_flops
         kind = jax.devices()[0].device_kind
         peak = _peak_tflops(kind)
         result["device_kind"] = kind

@@ -270,22 +270,31 @@ def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
     # Window slide on segment crossing (ReferencePath.update :190-212,
     # called from get_parameters at the start of BoundMPC.step :310)
     sector = advance_sector(path, state.sector, state.phi)
+    crossed_window = sector != state.sector
     state = state._replace(sector=sector)
 
     params = assemble_params(cfg, state, path, weights, x_phi_d)
 
     if solve_fn is None:
-        # Warm-started ticks resume the mu continuation near the central
-        # path (Ipopt warm-start analog, see SolverConfig.mu_warm).  This
-        # INCLUDES ticks recovering from a failed solve: restarting those
-        # cold (round-2 design) was measured to be the divergence mechanism
-        # behind the bench's max_viol-300 dead lanes — mu_init=1e-2 slams a
-        # boundary-hugging iterate deep into the interior, the constraint
-        # linearization breaks, and 40 iterations end mid-walk at viol ~7,
-        # turning one marginal gate failure (viol 1.07e-4) into a death
-        # spiral.  Cold starts are for states with NO previous plan (first
-        # tick, post-replan) only.
-        mu0 = jnp.where(state.has_prev, scfg.mu_warm, scfg.mu_init)
+        # Tiered mu restart (Ipopt's adaptive-mu warm-start analog):
+        #   * settled warm lanes resume AT the final barrier weight
+        #     (scfg.mu_warm) — the shifted previous optimum already sits on
+        #     the mu_min central path, so any continuation is pure waste;
+        #   * lanes whose window SLID this tick, or that are recovering from
+        #     a failed solve, restart the continuation at mu_shift: the new
+        #     window's constraints are typically violated by the old plan,
+        #     and a brief mu walk re-balances feasibility restoration vs
+        #     objective descent (measured: mu-min-only crossings drove ~1%
+        #     of lanes into gate failures clustered at segment switches);
+        #   * cold states (no previous plan: first tick, post-replan) start
+        #     at mu_init.  NEVER restart a warm lane at mu_init — that was
+        #     the round-2 divergence mechanism (a 1e-2 barrier slams a
+        #     boundary-hugging iterate into the interior, the linearization
+        #     breaks, and one marginal failure becomes a death spiral).
+        shock = crossed_window | (state.error_count > 0)
+        mu0 = jnp.where(state.has_prev,
+                        jnp.where(shock, scfg.mu_shift, scfg.mu_warm),
+                        scfg.mu_init)
         u_opt, stats = solver_mod.solve(cfg, scfg, coeffs, params,
                                         state.u_warm, limits, mu0=mu0,
                                         pref=pref)
@@ -303,8 +312,13 @@ def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
 
     # Fallback logic (BoundMPC.py:467-496): on failure EXECUTE the previous
     # accepted (already shifted) safe plan; with no previous plan accept the
-    # infeasible solution ("first-ever failure" branch).
-    use_opt = success | (~state.has_prev)
+    # infeasible solution ("first-ever failure" branch).  NEAR-FEASIBLE
+    # failing solves (viol < viol_exec) also execute their FRESH plan — the
+    # Ipopt acceptable-level analog; see SolverConfig.viol_exec for why
+    # replaying stale plans on marginal misses is a death spiral.  They
+    # still count as failures (error_count) and never enter u_safe.
+    acceptable = stats.viol < scfg.viol_exec
+    use_opt = success | (~state.has_prev) | acceptable
     u_used = jnp.where(use_opt, u_opt, state.u_safe)
     error_count = jnp.where(success, 0, state.error_count + 1)
     error_count = jnp.where(success | state.has_prev, error_count, 0)
@@ -318,7 +332,9 @@ def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
     # executed (the round-1 bug that chained them through u_warm drove the
     # plant along infeasible plans).
     u_warm_next = jnp.where(use_opt | (stats.viol < 1.0), u_opt, u_used)
-    u_safe_next = jnp.where(use_opt, u_opt, state.u_safe)
+    # u_safe holds GATED plans only — acceptable-executing failures must not
+    # contaminate the safe fallback.
+    u_safe_next = jnp.where(success | (~state.has_prev), u_opt, state.u_safe)
 
     # The executed trajectory is exact by construction — no post-solve
     # re-integration needed (reference must re-integrate, BoundMPC.py:526-555).

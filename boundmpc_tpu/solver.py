@@ -94,6 +94,22 @@ class SolverConfig(NamedTuple):
     # mirrors Ipopt's warm_start_init_point + small mu_init recipe
     # (reference options BoundMPC.py:120-148).
     mu_warm: float = 1e-4
+    # Barrier restart for warm lanes hit by a SHOCK (window slide on a
+    # segment crossing, or recovery from a failed solve): a brief mu
+    # continuation from here re-balances feasibility restoration against
+    # objective descent (see engine._tick_impl's tiered mu policy).
+    mu_shift: float = 1e-4
+    # Execution gate for NEAR-FEASIBLE failing solves (engine fallback
+    # policy): a solve that misses the success gate but has total violation
+    # below this executes its FRESH plan instead of the shifted stale
+    # fallback.  Replaying stale plans for marginal (1e-4-ish) misses was
+    # the measured death mechanism: each stale shift drives the plant
+    # further off the solution manifold until the NLP is genuinely
+    # infeasible in ANY precision (verified: an f64 resolve from such a
+    # state dies identically).  Ipopt's acceptable-level heuristics
+    # (acceptable_constr_viol_tol = 1e-2 by default) play the same role for
+    # the reference.  Failures still count toward error_count/dead.
+    viol_exec: float = 3e-2
     # Jacobian computation: "structured" (per-stage jacfwd + constant-map
     # assembly, ~3x less AD and a far simpler XLA program) or "ad" (full
     # 80-tangent jacfwd — the reference implementation the structured path

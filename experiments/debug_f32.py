@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--tol-merit", type=float, default=None)
     ap.add_argument("--jac", default=None)
     ap.add_argument("--delta", type=float, default=None)
+    ap.add_argument("--dump", type=int, default=None,
+                    help="save the batched EngineState BEFORE this tick")
+    ap.add_argument("--dump-file", default="/tmp/fleet_state.npz")
     ap.add_argument("--platform", default=None, help="cpu to force local CPU")
     ap.add_argument("--subset", default=None,
                     help="comma-separated scenario indices (of the full "
@@ -86,6 +89,11 @@ def main():
     import time
     first_bad = None
     for t in range(args.ticks):
+        if args.dump is not None and t == args.dump:
+            flat = {f"s{i}": np.asarray(l)
+                    for i, l in enumerate(jax.tree.leaves(states))}
+            np.savez_compressed(args.dump_file, **flat)
+            print(f"dumped pre-tick-{t} state -> {args.dump_file}", flush=True)
         t0 = time.perf_counter()
         states, out = tick_b(states, paths, weights, x_phi_d, pref)
         jax.block_until_ready(states.phi)
@@ -99,10 +107,11 @@ def main():
               f"  med_iters {np.median(iters):.0f}  max_iters {iters.max():d}"
               f"  conv {conv.mean():.2f}"
               f"  mean_phi {phi.mean():.3f}  {wall*1e3:6.1f}ms", flush=True)
-        if first_bad is None and not succ.all():
-            first_bad = (t, np.where(~succ)[0])
-            print(f"  FIRST FAILURES at tick {t}: scenarios {first_bad[1][:10]}"
-                  f"  viols {viol[first_bad[1][:10]]}", flush=True)
+        if not succ.all():
+            bad = np.where(~succ)[0]
+            print(f"  failures: {bad[:10]}  viols {viol[bad[:10]]}", flush=True)
+            if first_bad is None:
+                first_bad = (t, bad)
 
 
 if __name__ == "__main__":
