@@ -60,7 +60,12 @@ class SolverConfig(NamedTuple):
     # weight and FEASIBLE, the merit has stagnated for ``stall_iters``
     # consecutive iterations (relative decrease < tol_merit, or no improving
     # line-search candidate at all — the f32 noise floor).
-    tol_merit: float = 1e-6  # relative merit decrease considered progress
+    # Relative merit decrease that counts as progress.  3e-5 (above the f32
+    # merit noise floor) was tried to cut stall-counter resets from noise-
+    # positive "improvements"; it saved no wall time (a different lane then
+    # sets the lockstep iteration count) and cost ~2.5e-3 of fleet success —
+    # the late micro-steps it skipped were real refinement.  Keep tight.
+    tol_merit: float = 1e-6
     tol_feas: float = 3e-5  # in-loop feasibility gate (sum of violations)
     stall_iters: int = 0  # 0 disables (float64 parity runs stay strict)
     # KKT step method:

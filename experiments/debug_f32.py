@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--mu-warm", type=float, default=None)
     ap.add_argument("--tol-step", type=float, default=None)
     ap.add_argument("--n-ls", type=int, default=None)
+    ap.add_argument("--ls-decay", type=float, default=None)
     ap.add_argument("--tol-feas", type=float, default=None)
     ap.add_argument("--tol-merit", type=float, default=None)
     ap.add_argument("--jac", default=None)
@@ -61,6 +62,8 @@ def main():
         scfg = scfg._replace(tol_step=args.tol_step)
     if args.n_ls is not None:
         scfg = scfg._replace(n_ls=args.n_ls)
+    if args.ls_decay is not None:
+        scfg = scfg._replace(ls_decay=args.ls_decay)
     if args.tol_feas is not None:
         scfg = scfg._replace(tol_feas=args.tol_feas)
     if args.tol_merit is not None:

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--telemetry", default=None,
                     help="native binary telemetry log path")
+    ap.add_argument("--mpcdata", default=None,
+                    help="MPCData-grade native log (full horizon payload "
+                         "per scenario-tick; feed report_from_telemetry)")
     ap.add_argument("--checkpoint", default=None,
                     help="save the fleet state here at the end")
     ap.add_argument("--resume", default=None,
@@ -85,11 +88,13 @@ def main():
         paths = eng.sharding(fl.paths)
         weights = eng.sharding(fl.weights)
         x_phi_d = eng.sharding(fl.x_phi_d)
+        pref = eng.prefactor(fl.paths, fl.weights, fl.x_phi_d)
         times = []
         metrics = {}
         for k in range(args.ticks):
             t0 = time.perf_counter()
-            states, outs, metrics = eng.tick(states, paths, weights, x_phi_d)
+            states, outs, metrics = eng.tick(states, paths, weights,
+                                             x_phi_d, pref)
             jax.block_until_ready(states.phi)
             times.append(time.perf_counter() - t0)
         med = float(np.median(times[1:] or times))
@@ -108,7 +113,8 @@ def main():
         print(json.dumps(summary))
         return
 
-    fleet = FleetRunner(scenarios, telemetry_path=args.telemetry)
+    fleet = FleetRunner(scenarios, telemetry_path=args.telemetry,
+                        mpcdata_path=args.mpcdata)
     if args.resume:
         fleet.load_checkpoint(args.resume)
     stats = fleet.run(ticks=args.ticks)

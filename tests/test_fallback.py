@@ -72,6 +72,60 @@ def test_fallback_replays_previous_plan():
     assert bool(st.dead)
 
 
+def test_acceptable_failure_executes_fresh_plan():
+    """A failing solve with NEAR-FEASIBLE violation (< SolverConfig.
+    viol_exec) must execute its FRESH plan — not the stale shifted fallback
+    — while still counting as a failure and leaving the safe-plan buffer
+    untouched.  Replaying stale plans on marginal misses was the measured
+    death-spiral mechanism (each shift drives the plant off the solution
+    manifold until the NLP is infeasible in any precision)."""
+    sc = experiment1()
+    cfg = ocp.OcpConfig()
+    path = sc.build(dtype=np.float64)
+    coeffs = jerkint.coeff_matrices(cfg.N, cfg.dt, dtype=jnp.float64)
+    limits = kinematics.robot_limits()
+    weights = jnp.asarray(sc.weights)
+    x_phi_d = jnp.asarray([float(path.phi_max) - 1e-4, 0.0, 0.0])
+    state = engine.init_state(cfg, sc.q0, dtype=jnp.float64)
+    scfg = solver_mod.SolverConfig()
+
+    for _ in range(3):
+        state, out = engine.tick(cfg, scfg, coeffs, limits, state, path,
+                                 weights, x_phi_d)
+    assert bool(out.success)
+    u_safe_before = np.asarray(state.u_safe)
+
+    marker = jnp.full((cfg.N, cfg.nr_joints + 1), 0.123, jnp.float64)
+
+    def near_feasible_fail(params, u_warm):
+        stats = solver_mod.SolveStats(
+            iters=jnp.asarray(1, jnp.int32),
+            converged=jnp.asarray(False),
+            obj=jnp.asarray(1.0, u_warm.dtype),
+            viol=jnp.asarray(1e-3, u_warm.dtype),  # < viol_exec, > gate
+        )
+        return marker, stats
+
+    state_f, out_f = engine.tick(cfg, scfg, coeffs, limits, state, path,
+                                 weights, x_phi_d, solve_fn=near_feasible_fail)
+    assert not bool(out_f.success)
+    assert int(out_f.error_count) == 1
+    # fresh near-feasible plan EXECUTED...
+    np.testing.assert_allclose(np.asarray(out_f.u), 0.123)
+    # ...but the safe buffer holds only gated plans (shift of the previous)
+    expected_safe = np.concatenate([u_safe_before[1:], u_safe_before[-1:]])
+    np.testing.assert_allclose(np.asarray(state_f.u_safe), expected_safe)
+
+    # A HARD failure right after must fall back to that safe plan
+    hard = _failing_solver(cfg)
+    state_h, out_h = engine.tick(cfg, scfg, coeffs, limits, state_f, path,
+                                 weights, x_phi_d, solve_fn=hard)
+    assert not bool(out_h.success)
+    assert int(out_h.error_count) == 2
+    np.testing.assert_allclose(np.asarray(out_h.u),
+                               np.asarray(state_f.u_safe))
+
+
 def test_first_failure_without_prev_uses_infeasible():
     """Reference :479-489: with no previous solution the infeasible solution
     is used anyway and error_count resets."""
