@@ -35,6 +35,7 @@ BASELINE_SOLVES_PER_S = 1000.0
 _PEAK_F32_TFLOPS = {
     "TPU v4": 137.5,  # bf16 275 / 2
     "TPU v5": 197.0,
+    "TPU v5 lite": 98.5,  # v5e; device_kind reports "TPU v5 lite"
     "TPU v5e": 98.5,  # bf16 197 / 2
     "TPU v5p": 229.5,
     "TPU v6e": 459.0,  # bf16 918 / 2
@@ -118,7 +119,7 @@ def main():
         def _jac(p, uf):
             return jax.vmap(lambda t: jax.jvp(lambda v: _rc(p, v),
                                               (uf,), (t,))[1],
-                            out_axes=(1, 1))(jnp.eye(n, jnp.float32))
+                            out_axes=(1, 1))(jnp.eye(n, dtype=jnp.float32))
 
         def _ls(p, uf, du):
             al = scfg.ls_decay ** jnp.arange(scfg.n_ls, dtype=jnp.float32)
