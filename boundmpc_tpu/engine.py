@@ -61,6 +61,14 @@ class EngineState(NamedTuple):
     has_prev: jnp.ndarray  # () bool
     error_count: jnp.ndarray  # () int32
     dead: jnp.ndarray  # () bool — N consecutive failures (BoundMPC.py:498)
+    # Warm-started Levenberg damping: the final LM reg of the previous
+    # tick's solve.  Resetting reg to its floor every tick forced hard
+    # ticks to re-climb it through ~7 rejected line searches before the
+    # first accepted step (measured, experiments/trace_solve.py); carrying
+    # it across ticks is the damping analog of the u_warm shift —
+    # the trust-region radius is as much a part of the warm start as the
+    # iterate itself.
+    reg_warm: jnp.ndarray  # ()
 
 
 class TickOut(NamedTuple):
@@ -94,6 +102,7 @@ def init_state(cfg: ocp.OcpConfig, q0: jnp.ndarray, dtype=jnp.float32) -> Engine
         has_prev=jnp.asarray(False),
         error_count=jnp.zeros((), jnp.int32),
         dead=jnp.asarray(False),
+        reg_warm=jnp.asarray(0.0, dtype),  # 0 = "no carried damping"
     )
 
 
@@ -162,6 +171,7 @@ def replan_state(cfg: ocp.OcpConfig, state: EngineState, new_path: PathData
         # feasibility instead of replaying a stale plan.
         has_prev=jnp.asarray(False),
         error_count=jnp.zeros_like(state.error_count),
+        reg_warm=jnp.zeros_like(state.reg_warm),
     )
 
 
@@ -295,9 +305,25 @@ def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
         mu0 = jnp.where(state.has_prev,
                         jnp.where(shock, scfg.mu_shift, scfg.mu_warm),
                         scfg.mu_init)
+        # Warm-started LM damping (EngineState.reg_warm): resume near the
+        # previous solve's final damping instead of re-climbing from the
+        # floor through rejected line searches.  Resume RELAXED (x0.1,
+        # capped at 1e-2): an under-damped start regrows 10x per rejected
+        # step (cheap), while an over-damped start must shrink 3x per
+        # accepted step and stalls the whole solve (measured: carrying the
+        # raw reg_final of shock ticks made post-replan recovery oscillate
+        # success/fail).
+        # Shock ticks (window slide / failure recovery) start from the
+        # static floor: the event invalidated the old trust region, and the
+        # recovery path is tuned around the mu_shift continuation.
+        carry = (state.has_prev & (state.reg_warm > 0) & ~shock
+                 if scfg.carry_reg else jnp.asarray(False))
+        reg0 = jnp.where(carry,
+                         jnp.clip(0.1 * state.reg_warm, scfg.reg, 1e-2),
+                         scfg.reg)
         u_opt, stats = solver_mod.solve(cfg, scfg, coeffs, params,
                                         state.u_warm, limits, mu0=mu0,
-                                        pref=pref)
+                                        pref=pref, reg0=reg0)
     else:
         u_opt, stats = solve_fn(params, state.u_warm)
 
@@ -371,6 +397,8 @@ def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
         has_prev=jnp.asarray(True),
         error_count=error_count,
         dead=dead,
+        reg_warm=(stats.reg_final if stats.reg_final is not None
+                  else jnp.zeros_like(state.reg_warm)),
     )
     # A dead scenario is STOPPED: the reference returns Nones after N
     # consecutive failures and the node halts the robot

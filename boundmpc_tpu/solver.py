@@ -66,7 +66,19 @@ class SolverConfig(NamedTuple):
     # sets the lockstep iteration count) and cost ~2.5e-3 of fleet success —
     # the late micro-steps it skipped were real refinement.  Keep tight.
     tol_merit: float = 1e-6
-    tol_feas: float = 3e-5  # in-loop feasibility gate (sum of violations)
+    # In-loop feasibility gate for the stagnation exit: sum of violations of
+    # the constraints AS SEEN BY THE LOOP (i.e. scaled rows when
+    # scale_constraints is on).  Row scales are max(bound^2, 1e-2) <= ~1
+    # (the widest asymmetric bound rectangles reach 1.0,
+    # experiment2_runner.py:75-89), so sum(viol_unscaled) <=
+    # max_bound^2 * sum(viol_scaled) ~= sum(viol_scaled): a scaled gate of
+    # 1e-4 matches the reference's unscaled 1e-4 success criterion
+    # (BoundMPC.py:465).  The previous 3e-5 gate was BELOW the scaled noise
+    # floor of feasible iterates: perfectly feasible lanes (unscaled viol
+    # exactly 0) flicker at scaled ~2-5e-5 from active constraints on
+    # small-bound rows, and burned the whole iteration budget with the
+    # stagnation exit blocked (measured, experiments/trace_solve.py).
+    tol_feas: float = 1e-4
     stall_iters: int = 0  # 0 disables (float64 parity runs stay strict)
     # KKT step method:
     #   "qr"       — stacked weighted least squares via Householder QR with
@@ -120,6 +132,13 @@ class SolverConfig(NamedTuple):
     # 80-tangent jacfwd — the reference implementation the structured path
     # is tested against).
     jac: str = "structured"
+    # Carry the final LM damping across warm non-shock ticks
+    # (EngineState.reg_warm): without it, hard ticks re-climb the damping
+    # from the floor through ~7 rejected line searches before the first
+    # accepted step (measured, experiments/trace_solve.py).  Off by default
+    # so the float64 parity path keeps its bit-reproducible per-tick
+    # semantics; on in RUNTIME_F32 where iteration count is wall-clock.
+    carry_reg: bool = False
     # Normalize the squared bound constraints by bound^2 inside the barrier
     # (homogeneous rows — essential for float32 corridor scenarios).  Off by
     # default: the amplified rows strengthen the barrier's interior bias,
@@ -171,6 +190,7 @@ class _LoopState(NamedTuple):
     done: jnp.ndarray  # () bool
     last_step: jnp.ndarray  # () max |du| of last accepted step
     stall: jnp.ndarray  # () int32 consecutive stagnant iterations
+    rej: jnp.ndarray  # () int32 consecutive full line-search rejections
 
 
 def _barrier(z, delta):
@@ -229,7 +249,7 @@ def make_prefactor(cfg: ocp.OcpConfig, path_phi_max, weights: jnp.ndarray,
 def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
           params: ocp.OcpParams, u0: jnp.ndarray,
           limits: kinematics.RobotLimits, mu0=None,
-          pref: QrPrefactor | None = None):
+          pref: QrPrefactor | None = None, reg0=None):
     """Minimize the condensed OCP from warm start ``u0`` (N, 8).
 
     Returns (u_opt (N, 8), SolveStats).  Pure function of its inputs —
@@ -243,6 +263,11 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
     ``pref`` (optional) supplies the setup-time QR prefactor of the linear
     residual block; when absent it is built in-solve (same numerics, pays a
     320 x n QR per call).
+
+    ``reg0`` (traced scalar, optional) overrides the static ``scfg.reg``
+    initial Levenberg damping — the engine passes the previous tick's final
+    damping (EngineState.reg_warm) so hard ticks don't re-climb it through
+    rejected line searches.
     """
     N, nu = cfg.N, cfg.nr_joints + 1
     n = N * nu
@@ -445,9 +470,21 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         tiny_step = improved & (alpha < 0.05)
         reg_new = jnp.where(
             full_step, jnp.maximum(reg * scfg.reg_shrink, scfg.reg), reg)
-        reg_new = jnp.where(
-            tiny_step | ~improved,
-            jnp.minimum(reg * scfg.reg_grow, scfg.reg_max), reg_new)
+        # Consecutive FULL rejections accelerate the growth (10x, 100x,
+        # 1000x, ...): when the floor damping is many decades below the
+        # trusted scale (a deeply-infeasible warm iterate puts the barrier
+        # in its mu/delta^2 quadratic extension), a fixed 10x climb burns
+        # ~7 iterations doing nothing (measured, experiments/trace_solve.py);
+        # the accelerated climb reaches the same damping in ~3.  Tiny
+        # accepted steps keep the plain 10x — there the scale is nearly
+        # right already.
+        grow = scfg.reg_grow ** (1 + jnp.minimum(st.rej, 2).astype(dtype))
+        reg_new = jnp.where(~improved,
+                            jnp.minimum(reg * grow, scfg.reg_max), reg_new)
+        reg_new = jnp.where(tiny_step,
+                            jnp.minimum(reg * scfg.reg_grow, scfg.reg_max),
+                            reg_new)
+        rej_new = jnp.where(improved, 0, st.rej + 1)
 
         # mu continuation: decay toward mu_min only on accepted steps.  (A
         # failed line search no longer backs mu off — growing the damping is
@@ -484,7 +521,7 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         else:
             stall_new = st.stall
         return _LoopState(u_new, mu_new, reg_new, st.k + 1, done, step_inf,
-                          stall_new)
+                          stall_new, rej_new)
 
     def cond(st: _LoopState):
         return (~st.done) & (st.k < scfg.max_iters)
@@ -493,11 +530,12 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
     init = _LoopState(
         u=u0.reshape(-1).astype(dtype),
         mu=mu_start,
-        reg=jnp.asarray(scfg.reg, dtype),
+        reg=jnp.asarray(scfg.reg if reg0 is None else reg0, dtype),
         k=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         last_step=jnp.asarray(jnp.inf, dtype),
         stall=jnp.asarray(0, jnp.int32),
+        rej=jnp.asarray(0, jnp.int32),
     )
     out = jax.lax.while_loop(cond, step, init)
 
