@@ -275,8 +275,10 @@ def tick(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
                           x_phi_d, solve_fn, pref)
 
 
-def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
-               solve_fn, pref):
+def presolve(cfg, scfg, state, path, weights, x_phi_d):
+    """Tick front half: window slide, parameter assembly, tiered warm-start
+    policy.  Returns (state', params, mu0, reg0) — everything the solver
+    needs.  Shared verbatim by `tick` and the stream executor (stream.py)."""
     # Window slide on segment crossing (ReferencePath.update :190-212,
     # called from get_parameters at the start of BoundMPC.step :310)
     sector = advance_sector(path, state.sector, state.phi)
@@ -285,48 +287,62 @@ def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
 
     params = assemble_params(cfg, state, path, weights, x_phi_d)
 
+    # Tiered mu restart (Ipopt's adaptive-mu warm-start analog):
+    #   * settled warm lanes resume AT the final barrier weight
+    #     (scfg.mu_warm) — the shifted previous optimum already sits on
+    #     the mu_min central path, so any continuation is pure waste;
+    #   * lanes whose window SLID this tick, or that are recovering from
+    #     a failed solve, restart the continuation at mu_shift: the new
+    #     window's constraints are typically violated by the old plan,
+    #     and a brief mu walk re-balances feasibility restoration vs
+    #     objective descent (measured: mu-min-only crossings drove ~1%
+    #     of lanes into gate failures clustered at segment switches);
+    #   * cold states (no previous plan: first tick, post-replan) start
+    #     at mu_init.  NEVER restart a warm lane at mu_init — that was
+    #     the round-2 divergence mechanism (a 1e-2 barrier slams a
+    #     boundary-hugging iterate into the interior, the linearization
+    #     breaks, and one marginal failure becomes a death spiral).
+    shock = crossed_window | (state.error_count > 0)
+    mu0 = jnp.where(state.has_prev,
+                    jnp.where(shock, scfg.mu_shift, scfg.mu_warm),
+                    scfg.mu_init)
+    # Warm-started LM damping (EngineState.reg_warm): resume near the
+    # previous solve's final damping instead of re-climbing from the
+    # floor through rejected line searches.  Resume RELAXED (x0.1,
+    # capped at 1e-2): an under-damped start regrows 10x per rejected
+    # step (cheap), while an over-damped start must shrink 3x per
+    # accepted step and stalls the whole solve (measured: carrying the
+    # raw reg_final of shock ticks made post-replan recovery oscillate
+    # success/fail).
+    # Shock ticks (window slide / failure recovery) start from the
+    # static floor: the event invalidated the old trust region, and the
+    # recovery path is tuned around the mu_shift continuation.
+    carry = (state.has_prev & (state.reg_warm > 0) & ~shock
+             if scfg.carry_reg else jnp.asarray(False))
+    reg0 = jnp.where(carry,
+                     jnp.clip(0.1 * state.reg_warm, scfg.reg, 1e-2),
+                     scfg.reg)
+    return state, params, mu0, reg0
+
+
+def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
+               solve_fn, pref):
+    state, params, mu0, reg0 = presolve(cfg, scfg, state, path, weights,
+                                        x_phi_d)
     if solve_fn is None:
-        # Tiered mu restart (Ipopt's adaptive-mu warm-start analog):
-        #   * settled warm lanes resume AT the final barrier weight
-        #     (scfg.mu_warm) — the shifted previous optimum already sits on
-        #     the mu_min central path, so any continuation is pure waste;
-        #   * lanes whose window SLID this tick, or that are recovering from
-        #     a failed solve, restart the continuation at mu_shift: the new
-        #     window's constraints are typically violated by the old plan,
-        #     and a brief mu walk re-balances feasibility restoration vs
-        #     objective descent (measured: mu-min-only crossings drove ~1%
-        #     of lanes into gate failures clustered at segment switches);
-        #   * cold states (no previous plan: first tick, post-replan) start
-        #     at mu_init.  NEVER restart a warm lane at mu_init — that was
-        #     the round-2 divergence mechanism (a 1e-2 barrier slams a
-        #     boundary-hugging iterate into the interior, the linearization
-        #     breaks, and one marginal failure becomes a death spiral).
-        shock = crossed_window | (state.error_count > 0)
-        mu0 = jnp.where(state.has_prev,
-                        jnp.where(shock, scfg.mu_shift, scfg.mu_warm),
-                        scfg.mu_init)
-        # Warm-started LM damping (EngineState.reg_warm): resume near the
-        # previous solve's final damping instead of re-climbing from the
-        # floor through rejected line searches.  Resume RELAXED (x0.1,
-        # capped at 1e-2): an under-damped start regrows 10x per rejected
-        # step (cheap), while an over-damped start must shrink 3x per
-        # accepted step and stalls the whole solve (measured: carrying the
-        # raw reg_final of shock ticks made post-replan recovery oscillate
-        # success/fail).
-        # Shock ticks (window slide / failure recovery) start from the
-        # static floor: the event invalidated the old trust region, and the
-        # recovery path is tuned around the mu_shift continuation.
-        carry = (state.has_prev & (state.reg_warm > 0) & ~shock
-                 if scfg.carry_reg else jnp.asarray(False))
-        reg0 = jnp.where(carry,
-                         jnp.clip(0.1 * state.reg_warm, scfg.reg, 1e-2),
-                         scfg.reg)
         u_opt, stats = solver_mod.solve(cfg, scfg, coeffs, params,
                                         state.u_warm, limits, mu0=mu0,
                                         pref=pref, reg0=reg0)
     else:
         u_opt, stats = solve_fn(params, state.u_warm)
+    return postsolve(cfg, scfg, coeffs, state, path, params, u_opt, stats)
 
+
+def postsolve(cfg, scfg, coeffs, state, path, params, u_opt, stats):
+    """Tick back half: success gate, fallback selection, plant/controller
+    state advance, dead-lane freeze.  ``state`` is the presolve'd state
+    (sector already advanced).  Shared verbatim by `tick` and the stream
+    executor (stream.py)."""
     # Two-clause success criterion, mirroring the reference's
     # "Ipopt-success OR total violation < 1e-4" (BoundMPC.py:460-465).
     # The solver's `converged` flag alone is only a small-step test and must
@@ -371,7 +387,7 @@ def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
     phi1 = traj.phi[0]
     win_switch1 = params.phi_switch[1]
     crossed = phi1 > win_switch1
-    pr_new_anchor = path.via_rotvec[sector + 1]
+    pr_new_anchor = path.via_rotvec[state.sector + 1]
     pr_crossed = lie.integrate_rotation_reference(
         pr_new_anchor, params.dp_ref[1, 3:], win_switch1, phi1
     )
@@ -391,7 +407,7 @@ def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
         phi=traj.phi[0], dphi=traj.dphi[0], ddphi=traj.ddphi[0],
         dddphi=u_used[0, cfg.nr_joints],
         pr_ref=pr_ref_new, iw_ref=iw_ref_new,
-        sector=sector,
+        sector=state.sector,
         u_warm=_shift_plan(u_warm_next),
         u_safe=_shift_plan(u_safe_next),
         has_prev=jnp.asarray(True),

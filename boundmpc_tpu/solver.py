@@ -182,7 +182,10 @@ class SolveStats(NamedTuple):
     reg_final: jnp.ndarray | None = None  # () final Levenberg damping
 
 
-class _LoopState(NamedTuple):
+class LoopState(NamedTuple):
+    """Per-lane GN iteration state.  Public because the stream executor
+    (stream.py) carries it across its fused multi-tick loop."""
+
     u: jnp.ndarray  # (n,) flat decision vector
     mu: jnp.ndarray  # () barrier weight
     reg: jnp.ndarray  # () adaptive Levenberg damping
@@ -191,6 +194,9 @@ class _LoopState(NamedTuple):
     last_step: jnp.ndarray  # () max |du| of last accepted step
     stall: jnp.ndarray  # () int32 consecutive stagnant iterations
     rej: jnp.ndarray  # () int32 consecutive full line-search rejections
+
+
+_LoopState = LoopState  # internal alias (historical name)
 
 
 def _barrier(z, delta):
@@ -246,59 +252,94 @@ def make_prefactor(cfg: ocp.OcpConfig, path_phi_max, weights: jnp.ndarray,
     return QrPrefactor(R0=R0, Q0T=Q0.T)
 
 
-def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
-          params: ocp.OcpParams, u0: jnp.ndarray,
-          limits: kinematics.RobotLimits, mu0=None,
-          pref: QrPrefactor | None = None, reg0=None):
-    """Minimize the condensed OCP from warm start ``u0`` (N, 8).
+class StepCtx(NamedTuple):
+    """Per-TICK solve context: everything one GN iteration needs besides the
+    LoopState.  ``params`` vary per tick; ``R0/Q0T`` are the scenario-constant
+    QR prefactor of the linear residual block (QrPrefactor); ``d0 = Q0T @
+    c_lin(params)`` is its per-tick RHS projection.  A pytree so the stream
+    executor (stream.py) can carry / `where`-select it per lane."""
 
-    Returns (u_opt (N, 8), SolveStats).  Pure function of its inputs —
-    `vmap` over (params, u0) for scenario batching, `jit` at the caller.
+    params: ocp.OcpParams
+    R0: jnp.ndarray  # (n, n)
+    Q0T: jnp.ndarray  # (n, 32N)
+    d0: jnp.ndarray  # (n,)
 
-    ``mu0`` (traced scalar, optional) overrides the static ``scfg.mu_init``
-    barrier start — the engine passes ``scfg.mu_warm`` on warm-started ticks
-    so the mu continuation resumes near the central path instead of
-    restarting from the interior (SolverConfig.mu_warm).
 
-    ``pref`` (optional) supplies the setup-time QR prefactor of the linear
-    residual block; when absent it is built in-solve (same numerics, pays a
-    320 x n QR per call).
+def make_ctx(cfg: ocp.OcpConfig, coeffs: jerkint.JerkCoeffs,
+             params: ocp.OcpParams, pref: QrPrefactor | None,
+             dtype) -> StepCtx:
+    """Build the per-tick StepCtx; factors the linear block when no
+    setup-time prefactor is supplied (same numerics, one extra 32N x n QR)."""
+    from . import jacobian as jmod
+    if pref is None:
+        J_lin = jmod.linear_stack(cfg, params.weights, dtype)
+        Q0, R0 = jnp.linalg.qr(J_lin)
+        Q0T = Q0.T
+    else:
+        R0, Q0T = pref.R0, pref.Q0T
+    c_lin = jmod.linear_offsets(cfg, coeffs, params, dtype)
+    return StepCtx(params=params, R0=R0, Q0T=Q0T, d0=Q0T @ c_lin)
 
-    ``reg0`` (traced scalar, optional) overrides the static ``scfg.reg``
-    initial Levenberg damping — the engine passes the previous tick's final
-    damping (EngineState.reg_warm) so hard ticks don't re-climb it through
-    rejected line searches.
+
+def init_loop(scfg: SolverConfig, u0: jnp.ndarray, mu0=None, reg0=None
+              ) -> LoopState:
+    """Fresh LoopState for one tick's solve from warm start ``u0`` (N, nu)."""
+    dtype = u0.dtype
+    return LoopState(
+        u=u0.reshape(-1).astype(dtype),
+        mu=jnp.asarray(scfg.mu_init if mu0 is None else mu0, dtype),
+        reg=jnp.asarray(scfg.reg if reg0 is None else reg0, dtype),
+        k=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        last_step=jnp.asarray(jnp.inf, dtype),
+        stall=jnp.asarray(0, jnp.int32),
+        rej=jnp.asarray(0, jnp.int32),
+    )
+
+
+def make_stepper(cfg: ocp.OcpConfig, scfg: SolverConfig,
+                 coeffs: jerkint.JerkCoeffs, limits: kinematics.RobotLimits,
+                 dtype):
+    """Build ``step_fn(st: LoopState, ctx: StepCtx) -> LoopState`` — ONE
+    damped Gauss-Newton iteration (KKT step via QR least squares, parallel
+    Armijo line search, LM damping + mu continuation + convergence logic).
+
+    Single-lane semantics; `vmap` for batching.  `solve()` composes it with
+    a per-tick while_loop; the stream executor (stream.py) drives it inside
+    ONE fused multi-tick loop so lanes advance through their own ticks
+    independently instead of waiting for the slowest lane of every tick.
+    All trace-time constants (index maps, box Jacobians, line-search grid)
+    are closed over here once.
     """
     N, nu = cfg.N, cfg.nr_joints + 1
     n = N * nu
-    dtype = u0.dtype
 
-    def rc(u_flat):
+    def rc(u_flat, params):
         return ocp.residuals_and_constraints(
             cfg, coeffs, params, u_flat.reshape(N, nu), limits,
             scaled=scfg.scale_constraints,
         )
 
-    def merit(u_flat, mu):
-        r, c = rc(u_flat)
+    def merit(u_flat, mu, params):
+        r, c = rc(u_flat, params)
         return jnp.sum(r * r) + mu * jnp.sum(_barrier(-c, scfg.delta))
 
     ls_alphas = scfg.ls_decay ** jnp.arange(scfg.n_ls, dtype=dtype)
 
-    # --- one GN iteration -------------------------------------------------
     from . import jacobian as jmod
     lmaps = jmod.linear_maps(cfg, dtype)
 
-    def _jacobians_full(u):
+    def _jacobians_full(u, params):
         if scfg.jac == "structured":
             return jmod.residuals_constraints_and_jacobians(
                 cfg, coeffs, lmaps, params, u.reshape(N, nu), limits,
                 scaled=scfg.scale_constraints,
             )
-        r, c = rc(u)
+        r, c = rc(u, params)
         # One forward-mode sweep for both Jacobians: n tangents.
-        Jr, Jc = jax.vmap(lambda t: jax.jvp(rc, (u,), (t,))[1],
-                          out_axes=(1, 1))(jnp.eye(n, dtype=dtype))
+        Jr, Jc = jax.vmap(
+            lambda t: jax.jvp(lambda v: rc(v, params), (u,), (t,))[1],
+            out_axes=(1, 1))(jnp.eye(n, dtype=dtype))
         return r, c, Jr, Jc
 
     # --- exact row reduction for the QR stack (method "qr") ---------------
@@ -306,7 +347,7 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
     # (e_p 3, e_r 3, v 6, a 6) then 4*nj + 4 rows that are AFFINE in u with
     # CONSTANT Jacobians (q, dq, ddq, u, phi-chain).  The affine block's QR
     # factor is a pure function of (N, dt, weights) — supplied by the
-    # setup-time ``pref`` or built here once — and its per-tick RHS is
+    # setup-time ``pref`` or built once in make_ctx — and its per-tick RHS is
     # reproduced exactly as R0 u + Q0^T c_lin with c_lin from one zero-input
     # rollout (jacobian.linear_offsets).  Box-constraint pairs (upper/lower
     # share the same Jacobian row up to sign) merge into single rows with
@@ -314,50 +355,42 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
     # equations AND identical A^T b, so R and Q^T b match the full stack
     # exactly.  Net: m = 1100 rows -> 550, halving the TSQR kernel's work,
     # with NO per-iteration AD on any affine row.
-    if scfg.method == "qr":
-        import numpy as onp
+    import numpy as onp
 
-        nj = cfg.nr_joints
-        blk = 18 + 4 * nj + 4
-        dyn_idx = (onp.arange(N)[:, None] * blk
-                   + onp.arange(18)[None, :]).ravel()
-        nlN, qN, phiN = 5 * N, nj * N, N
-        s_nl = slice(0, nlN)
-        s_qup = slice(nlN, nlN + qN)
-        s_qlo = slice(nlN + qN, nlN + 2 * qN)
-        s_dqup = slice(nlN + 2 * qN, nlN + 3 * qN)
-        s_dqlo = slice(nlN + 3 * qN, nlN + 4 * qN)
-        off = nlN + 4 * qN
-        s_negphi = slice(off, off + phiN)
-        s_phimax = slice(off + phiN, off + 2 * phiN)
-        s_dphi = slice(off + 2 * phiN, off + 3 * phiN)
-        s_uup = slice(off + 3 * phiN, off + 3 * phiN + n)
-        s_ulo = slice(off + 3 * phiN + n, off + 3 * phiN + 2 * n)
+    nj = cfg.nr_joints
+    blk = 18 + 4 * nj + 4
+    dyn_idx = (onp.arange(N)[:, None] * blk
+               + onp.arange(18)[None, :]).ravel()
+    nlN, qN, phiN = 5 * N, nj * N, N
+    s_nl = slice(0, nlN)
+    s_qup = slice(nlN, nlN + qN)
+    s_qlo = slice(nlN + qN, nlN + 2 * qN)
+    s_dqup = slice(nlN + 2 * qN, nlN + 3 * qN)
+    s_dqlo = slice(nlN + 3 * qN, nlN + 4 * qN)
+    off = nlN + 4 * qN
+    s_negphi = slice(off, off + phiN)
+    s_phimax = slice(off + phiN, off + 2 * phiN)
+    s_dphi = slice(off + 2 * phiN, off + 3 * phiN)
+    s_uup = slice(off + 3 * phiN, off + 3 * phiN + n)
+    s_ulo = slice(off + 3 * phiN + n, off + 3 * phiN + 2 * n)
 
-        # Constant box-constraint jacobians (trace-time numpy, zero runtime)
-        Jq0, Jdq0, Jphi0, Jdphi0 = jmod.box_jacobians(cfg, dtype)
-        if pref is None:
-            J_lin = jmod.linear_stack(cfg, params.weights, dtype)
-            Q0, R0 = jnp.linalg.qr(J_lin)
-            Q0T = Q0.T
-        else:
-            R0, Q0T = pref.R0, pref.Q0T
-        c_lin = jmod.linear_offsets(cfg, coeffs, params, dtype)
-        d0 = Q0T @ c_lin
+    # Constant box-constraint jacobians (trace-time numpy, zero runtime)
+    Jq0, Jdq0, Jphi0, Jdphi0 = jmod.box_jacobians(cfg, dtype)
 
-        def _jacobians_reduced(u):
-            """(r, c, Jr_dyn (18N, n), Jc_nl (5N, n)) — jacobians only for
-            the FK-coupled rows; affine rows are covered by R0/constants."""
-            if scfg.jac == "structured":
-                return jmod.reduced_jacobians(
-                    cfg, coeffs, lmaps, params, u.reshape(N, nu), limits,
-                    scaled=scfg.scale_constraints,
-                )
-            r, c, Jr, Jc = _jacobians_full(u)
-            return r, c, Jr[dyn_idx], Jc[s_nl]
+    def _jacobians_reduced(u, params):
+        """(r, c, Jr_dyn (18N, n), Jc_nl (5N, n)) — jacobians only for
+        the FK-coupled rows; affine rows are covered by R0/constants."""
+        if scfg.jac == "structured":
+            return jmod.reduced_jacobians(
+                cfg, coeffs, lmaps, params, u.reshape(N, nu), limits,
+                scaled=scfg.scale_constraints,
+            )
+        r, c, Jr, Jc = _jacobians_full(u, params)
+        return r, c, Jr[dyn_idx], Jc[s_nl]
 
-    def step(st: _LoopState) -> _LoopState:
+    def step(st: LoopState, ctx: StepCtx) -> LoopState:
         u, mu, reg = st.u, st.mu, st.reg
+        params = ctx.params
 
         # Newton/GN step as a WEIGHTED LEAST SQUARES solve via QR.  The
         # barrier curvature mu * beta''(z) reaches 1/delta^2-scale weights, so
@@ -369,15 +402,15 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         #     b = [sqrt(2) r; rho; 0],   rho = mu beta' / sqrt(W)
         # => A^T A du = -A^T b  ==  H du = -g.
         if scfg.method == "qr":
-            r, c, Jr_dyn, Jc_nl = _jacobians_reduced(u)
+            r, c, Jr_dyn, Jc_nl = _jacobians_reduced(u, params)
             z = -c
             d1 = _barrier_d1(z, scfg.delta)
             w = mu * _barrier_d2(z, scfg.delta)
             r_dyn = r[dyn_idx]
-            lin_r = R0 @ u + d0  # == Q0^T r_lin(u), exact
+            lin_r = ctx.R0 @ u + ctx.d0  # == Q0^T r_lin(u), exact
             # Full gradient from the reduced pieces (identical to
             # 2 Jr^T r - mu Jc^T d1 with the full stacks):
-            g = 2.0 * (Jr_dyn.T @ r_dyn + R0.T @ lin_r) - mu * (
+            g = 2.0 * (Jr_dyn.T @ r_dyn + ctx.R0.T @ lin_r) - mu * (
                 Jc_nl.T @ d1[s_nl]
                 + Jq0.T @ (d1[s_qup] - d1[s_qlo])
                 + Jdq0.T @ (d1[s_dqup] - d1[s_dqlo])
@@ -394,7 +427,7 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
             s_u = jnp.sqrt(w[s_uup] + w[s_ulo] + reg)  # +I rows; reg folded
             A = jnp.concatenate([
                 sq2 * Jr_dyn,
-                sq2 * R0,
+                sq2 * ctx.R0,
                 sqw_nl[:, None] * Jc_nl,
                 s_q[:, None] * Jq0,
                 s_dq[:, None] * Jdq0,
@@ -418,7 +451,7 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
             from .ops import tsqr as _tsqr
             du = _tsqr.ls_solve(A, b)
         elif scfg.method == "qr_full":
-            r, c, Jr, Jc = _jacobians_full(u)
+            r, c, Jr, Jc = _jacobians_full(u, params)
             z = -c
             g = 2.0 * (Jr.T @ r) - mu * (Jc.T @ _barrier_d1(z, scfg.delta))
             w = mu * _barrier_d2(z, scfg.delta)
@@ -444,7 +477,7 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
         # at once instead of a sequential loop.
         m0 = jnp.sum(r * r) + mu * jnp.sum(_barrier(z, scfg.delta))
         slope = jnp.dot(g, du)
-        cand_m = jax.vmap(lambda a: merit(u + a * du, mu))(ls_alphas)
+        cand_m = jax.vmap(lambda a: merit(u + a * du, mu, params))(ls_alphas)
         ok = cand_m <= m0 + scfg.armijo * ls_alphas * slope
         ok = ok & jnp.isfinite(cand_m)
         # First (largest-alpha) acceptable candidate; fall back to the best
@@ -520,31 +553,58 @@ def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
             done = done | (stall_new >= scfg.stall_iters)
         else:
             stall_new = st.stall
-        return _LoopState(u_new, mu_new, reg_new, st.k + 1, done, step_inf,
-                          stall_new, rej_new)
+        return LoopState(u_new, mu_new, reg_new, st.k + 1, done, step_inf,
+                         stall_new, rej_new)
 
-    def cond(st: _LoopState):
-        return (~st.done) & (st.k < scfg.max_iters)
+    return step
 
-    mu_start = jnp.asarray(scfg.mu_init if mu0 is None else mu0, dtype)
-    init = _LoopState(
-        u=u0.reshape(-1).astype(dtype),
-        mu=mu_start,
-        reg=jnp.asarray(scfg.reg if reg0 is None else reg0, dtype),
-        k=jnp.asarray(0, jnp.int32),
-        done=jnp.asarray(False),
-        last_step=jnp.asarray(jnp.inf, dtype),
-        stall=jnp.asarray(0, jnp.int32),
-        rej=jnp.asarray(0, jnp.int32),
-    )
-    out = jax.lax.while_loop(cond, step, init)
 
-    u_opt = out.u.reshape(N, nu)
+def finish(cfg: ocp.OcpConfig, coeffs: jerkint.JerkCoeffs,
+           params: ocp.OcpParams, limits: kinematics.RobotLimits,
+           out: LoopState):
+    """Final iterate -> (u_opt (N, nu), SolveStats) with the UNSCALED
+    reference success metric (sum of violations beyond 1e-6 slack,
+    BoundMPC.py:460-465; all our constraints are c <= 0 one-sided)."""
+    u_opt = out.u.reshape(cfg.N, cfg.nr_joints + 1)
     ev = ocp.evaluate_stages(cfg, coeffs, params, u_opt)
     obj = ocp.objective(cfg, params, ev, u_opt)
     cfin = ocp.full_constraints(cfg, params, ev, u_opt, limits)
-    # Reference success metric: sum of violations beyond 1e-6 slack
-    # (BoundMPC.py:460-465; all our constraints are c <= 0 one-sided).
     viol = jnp.sum(jnp.where(cfin > 1e-6, cfin, 0.0))
-    return u_opt, SolveStats(iters=out.k, converged=out.done, obj=obj, viol=viol,
-                             step_inf=out.last_step, reg_final=out.reg)
+    return u_opt, SolveStats(iters=out.k, converged=out.done, obj=obj,
+                             viol=viol, step_inf=out.last_step,
+                             reg_final=out.reg)
+
+
+def solve(cfg: ocp.OcpConfig, scfg: SolverConfig, coeffs: jerkint.JerkCoeffs,
+          params: ocp.OcpParams, u0: jnp.ndarray,
+          limits: kinematics.RobotLimits, mu0=None,
+          pref: QrPrefactor | None = None, reg0=None):
+    """Minimize the condensed OCP from warm start ``u0`` (N, 8).
+
+    Returns (u_opt (N, 8), SolveStats).  Pure function of its inputs —
+    `vmap` over (params, u0) for scenario batching, `jit` at the caller.
+
+    ``mu0`` (traced scalar, optional) overrides the static ``scfg.mu_init``
+    barrier start — the engine passes ``scfg.mu_warm`` on warm-started ticks
+    so the mu continuation resumes near the central path instead of
+    restarting from the interior (SolverConfig.mu_warm).
+
+    ``pref`` (optional) supplies the setup-time QR prefactor of the linear
+    residual block; when absent it is built in-solve (same numerics, pays a
+    320 x n QR per call).
+
+    ``reg0`` (traced scalar, optional) overrides the static ``scfg.reg``
+    initial Levenberg damping — the engine passes the previous tick's final
+    damping (EngineState.reg_warm) so hard ticks don't re-climb it through
+    rejected line searches.
+    """
+    dtype = u0.dtype
+    ctx = make_ctx(cfg, coeffs, params, pref, dtype)
+    step = make_stepper(cfg, scfg, coeffs, limits, dtype)
+
+    def cond(st: LoopState):
+        return (~st.done) & (st.k < scfg.max_iters)
+
+    init = init_loop(scfg, u0, mu0=mu0, reg0=reg0)
+    out = jax.lax.while_loop(cond, lambda st: step(st, ctx), init)
+    return finish(cfg, coeffs, params, limits, out)

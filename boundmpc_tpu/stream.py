@@ -1,0 +1,159 @@
+"""Stream executor: asynchronous multi-tick fleet serving.
+
+The throughput problem it solves: `batch.make_scanned_ticks` runs every
+control tick as a `vmap`'d solver `while_loop`, which XLA executes in
+LOCKSTEP — the whole batch iterates until the SLOWEST lane of that tick
+converges.  Measured on-chip (experiments/prof_stragglers.py): the mean lane
+needs ~7 GN iterations per tick but the p50 tick burns the full 40-iteration
+budget because a handful of 256 lanes are slow, so ~80% of the chip's work
+is masked-out waste.
+
+Here the ticks of all lanes advance through ONE fused `lax.while_loop`:
+every loop iteration applies one GN step to every lane still solving; a lane
+whose solve just converged immediately COMMITS its tick (success gate,
+fallback, plant advance — engine.postsolve) and SETS UP its next one
+(window slide, parameter assembly, warm-start policy — engine.presolve)
+inside the same iteration, `where`-masked per lane.  Lanes never wait for
+each other: total work drops from sum over ticks of (B x max-lane-iters) to
+sum over lanes of their OWN per-tick needs, a ~3x reduction at B=256.
+
+The per-lane numerics are IDENTICAL to the sequential `engine.tick` path —
+presolve/postsolve and the GN stepper are shared code, and
+`tests/test_stream.py` asserts trajectory equality against
+`make_scanned_ticks`.  The one intentional deviation: a DEAD lane
+(engine dead-freeze semantics) skips its solve entirely (`done` forced at
+setup) instead of burning max_iters on a frozen state — its outputs
+(success=False, frozen state) are unchanged.
+
+This is the TPU-native analog of the reference's real-time economics: one
+Ipopt process per robot converges in however many iterations IT needs
+(BoundMPC.py:446-453); nothing in the reference couples one robot's solve
+time to another's, and the lockstep batch artificially did.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import engine, jerkint, kinematics, ocp, solver as solver_mod
+from .path import PathData
+
+
+class StreamCarry(NamedTuple):
+    states: engine.EngineState  # (B, ...) engine state per lane
+    ls: solver_mod.LoopState  # (B, ...) current solve iteration state
+    ctx: solver_mod.StepCtx  # (B, ...) current tick's solve context
+    t: jnp.ndarray  # (B,) int32 — ticks committed per lane
+    succ: jnp.ndarray  # (B, K) bool
+    viol: jnp.ndarray  # (B, K)
+    iters: jnp.ndarray  # (B, K) int32
+
+
+def _bwhere(mask, new, old):
+    """Per-lane select with broadcasting over trailing axes."""
+    m = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
+    return jnp.where(m, new, old)
+
+
+def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
+                      n_ticks: int, dtype=jnp.float32, donate: bool = True):
+    """Fused asynchronous executor for ``n_ticks`` control periods.
+
+    Returns fn(states, paths, weights (B, 15), x_phi_d (B, 3), pref) ->
+    (states', (success (K, B), viol (K, B), iters (K, B))) — the same
+    signature and output layout as `batch.make_scanned_ticks`, so the fleet
+    runner and bench can swap executors.  ``pref`` (batched QrPrefactor) is
+    required: the per-lane solve context is re-built every tick inside the
+    loop and must not re-factor the linear block there.
+    """
+    K = n_ticks
+    coeffs = jerkint.coeff_matrices(cfg.N, cfg.dt, dtype=dtype)
+    limits = kinematics.robot_limits()
+    limits = jax.tree.map(
+        lambda a: jnp.asarray(a, dtype) if isinstance(a, jnp.ndarray)
+        else a, limits
+    )
+
+    def presolve_lane(state, path, w, x, pref1):
+        state, params, mu0, reg0 = engine.presolve(cfg, scfg, state, path,
+                                                   w, x)
+        ctx = solver_mod.make_ctx(cfg, coeffs, params,
+                                  solver_mod.QrPrefactor(*pref1), dtype)
+        ls = solver_mod.init_loop(scfg, state.u_warm, mu0=mu0, reg0=reg0)
+        # Dead lanes skip their solve: postsolve freezes their state and
+        # reports success=False either way (engine dead semantics), so
+        # burning max_iters on the frozen warm start is pure waste.
+        ls = ls._replace(done=ls.done | state.dead)
+        return state, ctx, ls
+
+    def commit_lane(state, path, w, x, pref1, ls, ctx):
+        u_opt, stats = solver_mod.finish(cfg, coeffs, ctx.params, limits, ls)
+        new_state, out = engine.postsolve(cfg, scfg, coeffs, state, path,
+                                          ctx.params, u_opt, stats)
+        state2, ctx2, ls2 = presolve_lane(new_state, path, w, x, pref1)
+        return state2, ctx2, ls2, out.success, stats.viol, stats.iters
+
+    def stream(states: engine.EngineState, paths: PathData,
+               weights: jnp.ndarray, x_phi_d: jnp.ndarray,
+               pref: solver_mod.QrPrefactor):
+        B = states.phi.shape[0]
+        step = solver_mod.make_stepper(cfg, scfg, coeffs, limits, dtype)
+        pref_t = (pref.R0, pref.Q0T)
+
+        states0, ctx0, ls0 = jax.vmap(presolve_lane)(
+            states, paths, weights, x_phi_d, pref_t)
+        carry0 = StreamCarry(
+            states=states0, ls=ls0, ctx=ctx0,
+            t=jnp.zeros(B, jnp.int32),
+            succ=jnp.zeros((B, K), bool),
+            viol=jnp.zeros((B, K), dtype),
+            iters=jnp.zeros((B, K), jnp.int32),
+        )
+
+        def cond(c: StreamCarry):
+            return jnp.any(c.t < K)
+
+        def body(c: StreamCarry) -> StreamCarry:
+            active = c.t < K
+            live = active & ~c.ls.done & (c.ls.k < scfg.max_iters)
+            ls1 = jax.vmap(step)(c.ls, c.ctx)
+            ls = jax.tree.map(lambda a, b: _bwhere(live, a, b), ls1, c.ls)
+            solve_done = active & (ls.done | (ls.k >= scfg.max_iters))
+
+            def commit_phase(c, ls):
+                st2, ctx2, ls2, succ1, viol1, iters1 = jax.vmap(commit_lane)(
+                    c.states, paths, weights, x_phi_d, pref_t, ls, c.ctx)
+                sel = lambda new, old: jax.tree.map(
+                    lambda a, b: _bwhere(solve_done, a, b), new, old)
+                lanes = jnp.arange(B)
+                rec = lambda arr, v: arr.at[lanes, c.t].set(
+                    jnp.where(solve_done, v, arr[lanes, c.t]),
+                    mode="drop")
+                return StreamCarry(
+                    states=sel(st2, c.states),
+                    ls=sel(ls2, ls),
+                    ctx=sel(ctx2, c.ctx),
+                    t=jnp.where(solve_done, c.t + 1, c.t),
+                    succ=rec(c.succ, succ1),
+                    viol=rec(c.viol, viol1),
+                    iters=rec(c.iters, iters1),
+                )
+
+            def skip_phase(c, ls):
+                return c._replace(ls=ls)
+
+            return jax.lax.cond(jnp.any(solve_done), commit_phase,
+                                skip_phase, c, ls)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        # Time-major outputs, matching make_scanned_ticks.
+        return out.states, (out.succ.T, out.viol.T, out.iters.T)
+
+    def stream_prec(states, paths, weights, x_phi_d, pref):
+        # Same trace-time matmul-precision contract as engine.tick.
+        with jax.default_matmul_precision("float32"):
+            return stream(states, paths, weights, x_phi_d, pref)
+
+    return jax.jit(stream_prec, donate_argnums=(0,) if donate else ())

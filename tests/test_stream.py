@@ -1,0 +1,86 @@
+"""Stream executor vs sequential scanned ticks: per-lane equivalence.
+
+The stream executor (stream.py) interleaves lanes' solver iterations and
+tick commits inside one fused loop, but every lane's per-tick math —
+presolve, GN iterations, line search, postsolve — is the shared engine /
+solver code applied in the same order.  These tests pin that: the fused
+asynchronous schedule must produce the same closed-loop results as
+`batch.make_scanned_ticks` running each tick to lockstep completion.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from boundmpc_tpu import batch, ocp, solver as solver_mod, stream
+from boundmpc_tpu.runtime.fleet import FleetRunner
+from boundmpc_tpu.runtime.scenarios import experiment1, experiment2, random_scenario
+
+
+def _fleet(B, seed=3, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    scs = [experiment1(), experiment2()][: min(B, 2)]
+    scs += [random_scenario(rng) for _ in range(B - len(scs))]
+    return FleetRunner(scs, solver_cfg=solver_mod.RUNTIME_F32, dtype=dtype)
+
+
+def _run_both(K, B, dtype):
+    f = _fleet(B, dtype=dtype)
+    copy = lambda tree: jax.tree.map(lambda a: jnp.array(a), tree)
+    scanned = batch.make_scanned_ticks(f.cfg, f.scfg, K, dtype=dtype)
+    a = scanned(copy(f.states), f.paths, f.weights, f.x_phi_d, f._pref)
+    streamed = stream.make_stream_ticks(f.cfg, f.scfg, K, dtype=dtype)
+    b = streamed(copy(f.states), f.paths, f.weights, f.x_phi_d, f._pref)
+    return a, b
+
+
+def test_stream_matches_scanned_f64():
+    """Strict per-lane equivalence in float64, where every convergence
+    threshold sits many orders of magnitude above the rounding noise, so the
+    two differently-compiled programs must take IDENTICAL per-tick iteration
+    paths."""
+    (st_a, (succ_a, viol_a, iters_a)), (st_b, (succ_b, viol_b, iters_b)) = (
+        _run_both(K=6, B=4, dtype=jnp.float64))
+    np.testing.assert_array_equal(np.asarray(succ_a), np.asarray(succ_b))
+    np.testing.assert_array_equal(np.asarray(iters_a), np.asarray(iters_b))
+    np.testing.assert_allclose(np.asarray(viol_a), np.asarray(viol_b),
+                               rtol=0, atol=1e-9)
+    for name, a, b in zip(st_a._fields, jax.tree.leaves(st_a),
+                          jax.tree.leaves(st_b)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=0, atol=1e-8, err_msg=f"EngineState.{name} diverged")
+
+
+def test_stream_matches_scanned_f32_behavioral():
+    """In float32 the stagnation exit sits AT the rounding noise floor, so
+    iteration counts may differ between the two compiled programs (XLA fuses
+    them differently) — but the closed-loop BEHAVIOR must agree: same success
+    pattern, feasible solutions, same plant trajectory to f32 tolerance.
+    (The executed jerk knots may differ more: the objective's jerk weight is
+    1e-4, a nearly-flat solution subspace.)"""
+    (st_a, (succ_a, viol_a, _)), (st_b, (succ_b, viol_b, _)) = (
+        _run_both(K=6, B=4, dtype=jnp.float32))
+    np.testing.assert_array_equal(np.asarray(succ_a), np.asarray(succ_b))
+    assert np.asarray(viol_a).max() < 1e-4 and np.asarray(viol_b).max() < 1e-4
+    for fld in ("q", "dq", "phi", "dphi", "pr_ref", "iw_ref", "sector"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_a, fld), np.float64),
+            np.asarray(getattr(st_b, fld), np.float64),
+            rtol=0, atol=2e-2, err_msg=f"EngineState.{fld} diverged")
+
+
+def test_stream_progress_and_success():
+    """Longer run: the fused loop must keep making path progress and stay
+    successful through segment crossings (window slides) for every lane."""
+    B, K = 4, 25
+    f = _fleet(B, seed=11)
+    streamed = stream.make_stream_ticks(f.cfg, f.scfg, K)
+    st, (succ, viol, iters) = streamed(
+        f.states, f.paths, f.weights, f.x_phi_d, f._pref)
+    succ = np.asarray(succ)
+    assert succ.mean() > 0.97
+    phi = np.asarray(st.phi)
+    assert (phi > 0.3).all(), phi
+    assert int(np.asarray(st.sector).max()) >= 1  # a window slide happened
+    assert not np.asarray(st.dead).any()
