@@ -7,17 +7,22 @@ itself runs ONE 10 Hz solve per CPU process and is only real-time with the
 closed-source HSL MA57.
 
 Measurement discipline:
-  * throughput is measured over K ticks fused in one jitted scan (host
-    dispatch amortized — the production serving pattern) in the
-    receding-horizon steady state;
+  * throughput is measured over K ticks through the STREAM executor
+    (stream.py: lanes advance through their own ticks asynchronously inside
+    one fused loop — the production serving pattern; per-lane numerics are
+    test-pinned equal to the sequential tick path) in the receding-horizon
+    steady state;
   * correctness gates the number: success_rate and max violation are
     reported from the SAME ticks — throughput of a diverged solver is
     meaningless (round-1 lesson);
-  * p99 per-tick latency is measured on single un-fused ticks (dispatch
-    included), plus a B=1 single-scenario latency;
+  * per-tick latency = sustained stream time per control period at B=256;
+    the per-LANE tail (lane_tick_p99_ms) is p99 of (per-lane-tick GN
+    iterations x measured loop-iteration time) — each robot's own control
+    deadline, nothing waits for stragglers; plus a B=1 single-scenario
+    latency and the legacy lockstep single-tick latency for comparison;
   * a batch sweep (256..2048) reports the throughput curve and the chosen
-    operating point; `mfu` is XLA's own per-program FLOP count divided by
-    wall time and chip peak;
+    operating point; `mfu` is XLA's own per-iteration FLOP count times the
+    EXECUTED loop iterations divided by wall time and chip peak;
   * if any lane-tick exceeds viol 1.0 a postmortem record (worst scenario
     index, tick, violation history) is embedded in the JSON so the failure
     is reproducible via `experiments/debug_f32.py --subset <lane>`.
@@ -52,7 +57,7 @@ def _peak_tflops(kind: str):
 def main():
     import jax
     import jax.numpy as jnp
-    from boundmpc_tpu import batch, ocp, solver as solver_mod
+    from boundmpc_tpu import batch, ocp, solver as solver_mod, stream
     from boundmpc_tpu.runtime import enable_compilation_cache
     from __graft_entry__ import _build_batch
 
@@ -62,7 +67,7 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"
     B = 256 if on_tpu else 16
-    K = 10  # ticks per fused scan
+    K = 20 if on_tpu else 5  # ticks per fused stream call
 
     def build(Bi):
         states, paths, weights, x_phi_d = _build_batch(Bi, cfg)
@@ -71,15 +76,17 @@ def main():
 
     states, paths, weights, x_phi_d, pref = build(B)
     tick_b = batch.make_batched_tick(cfg, scfg, dtype=jnp.float32, donate=False)
-    scan_b = batch.make_scanned_ticks(cfg, scfg, K, dtype=jnp.float32)
+    stream_b = stream.make_stream_ticks(cfg, scfg, K, dtype=jnp.float32,
+                                        donate=False)
 
     # Warm up: compile + settle into the receding-horizon regime.
     for _ in range(3):
         states, out = tick_b(states, paths, weights, x_phi_d, pref)
     jax.block_until_ready(states.phi)
 
-    # Single-tick latencies (dispatch included) — the p99 control-period
-    # number against the reference's 100 ms budget.
+    # Legacy lockstep single-tick latency (dispatch included): every lane of
+    # the batch waits for the slowest lane's solve — reported for comparison
+    # with the stream numbers.
     lat = []
     for _ in range(10):
         t0 = time.perf_counter()
@@ -144,22 +151,33 @@ def main():
     except Exception:
         iter_flops = None
 
-    # Fused-scan throughput + correctness over the same ticks.
-    succ_all, viol_all, iters_all = [], [], []
+    # Stream throughput + correctness over the same ticks.  One untimed
+    # call first (compile + settle) so compile time stays out of the
+    # per-loop-iteration wall time that lane_tick_p99_ms is derived from;
+    # correctness is reported from the timed ticks.
+    states, _ = stream_b(states, paths, weights, x_phi_d, pref)
+    jax.block_until_ready(states.phi)
+    succ_all, viol_all, iters_all, nloop_all = [], [], [], []
     times = []
     for _ in range(4):
         t0 = time.perf_counter()
-        states, (succ, viol, iters) = scan_b(states, paths, weights,
-                                             x_phi_d, pref)
+        states, sout = stream_b(states, paths, weights, x_phi_d, pref)
         jax.block_until_ready(states.phi)
         times.append(time.perf_counter() - t0)
-        succ_all.append(np.asarray(succ))
-        viol_all.append(np.asarray(viol))
-        iters_all.append(np.asarray(iters))
+        succ_all.append(np.asarray(sout.success))
+        viol_all.append(np.asarray(sout.viol))
+        iters_all.append(np.asarray(sout.iters))
+        nloop_all.append(int(sout.n_loop))
     per_tick = float(np.median(times)) / K
     succ_all = np.concatenate(succ_all)  # (ticks, B)
     viol_all = np.concatenate(viol_all)
     iters_all = np.concatenate(iters_all)
+    # Per-lane tail latency: one stream loop iteration advances every lane
+    # by one GN step, so a lane's tick takes (its iterations) x (loop-iter
+    # wall time).  p99 over all lane-ticks = each robot's control-deadline
+    # tail; no lane ever waits for another's solve.
+    loop_iter_s = float(np.sum(times)) / max(sum(nloop_all), 1)
+    lane_tick_p99_ms = float(np.percentile(iters_all, 99)) * loop_iter_s * 1e3
 
     # Postmortem: identify the worst lane-tick if anything diverged.
     postmortem = None
@@ -180,16 +198,15 @@ def main():
     for Bi in sweep_sizes:
         try:
             s_i, p_i, w_i, x_i, pr_i = build(Bi)
-            scan_i = batch.make_scanned_ticks(cfg, scfg, K, dtype=jnp.float32)
-            s_i, _ = scan_i(s_i, p_i, w_i, x_i, pr_i)  # warm/compile + settle
+            str_i = stream.make_stream_ticks(cfg, scfg, K, dtype=jnp.float32,
+                                             donate=False)
+            s_i, _ = str_i(s_i, p_i, w_i, x_i, pr_i)  # warm/compile + settle
             jax.block_until_ready(s_i.phi)
-            ts = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                s_i, (sc_i, vl_i, _it) = scan_i(s_i, p_i, w_i, x_i, pr_i)
-                jax.block_until_ready(s_i.phi)
-                ts.append(time.perf_counter() - t0)
-            pt = float(np.median(ts)) / K
+            t0 = time.perf_counter()
+            s_i, so_i = str_i(s_i, p_i, w_i, x_i, pr_i)
+            jax.block_until_ready(s_i.phi)
+            pt = (time.perf_counter() - t0) / K
+            sc_i = so_i.success
             sweep.append({
                 "batch": Bi,
                 "solves_per_s": round(Bi / pt, 1),
@@ -227,8 +244,11 @@ def main():
         "vs_baseline": round(best["solves_per_s"] / BASELINE_SOLVES_PER_S, 3),
         "batch": best["batch"],
         "platform": platform,
+        "executor": "stream",
         "tick_latency_ms": round(per_tick * 1e3, 2),
-        "tick_latency_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
+        "lane_tick_p99_ms": round(lane_tick_p99_ms, 2),
+        "lockstep_tick_ms": round(float(np.median(lat)) * 1e3, 2),
+        "lockstep_tick_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
         "b1_latency_ms": round(float(np.median(lat1)) * 1e3, 2),
         "success_rate": round(float(succ_all.mean()), 4),
         "max_viol": float(viol_all.max()),
@@ -238,10 +258,11 @@ def main():
         "batch_sweep": sweep,
     }
     if iter_flops:
-        # Mean iterations actually run per lockstep tick = the max over
-        # lanes (the while_loop runs until the slowest lane is done).
-        iters_per_tick = float(iters_all.max(axis=1).mean())
-        tflops_achieved = iter_flops * iters_per_tick / per_tick / 1e12
+        # Executed work = one batched GN iteration per stream loop
+        # iteration (the counter the executor reports); commit/setup phases
+        # are excluded, so this is a lower bound on achieved FLOP/s.
+        tflops_achieved = (iter_flops * float(sum(nloop_all))
+                           / float(np.sum(times)) / 1e12)
         result["achieved_tflops"] = round(tflops_achieved, 3)
         result["flops_per_iteration"] = iter_flops
         kind = jax.devices()[0].device_kind

@@ -144,6 +144,74 @@ class FleetRunner:
             mean_phi=float(np.asarray(self.states.phi).mean()),
         )
 
+    def run_stream(self, ticks: int = 100, chunk: int = 10) -> FleetStats:
+        """Serve the fleet through the STREAM executor (stream.py): lanes
+        advance through their own ticks asynchronously inside one fused
+        device loop — ~2x the lockstep `run` throughput at B=256 (measured
+        on-chip, experiments/prof_stream.py).  Telemetry streams per tick
+        from the executor's recorded series between chunks; the MPCData
+        horizon stream needs per-tick TickOut payloads and is only available
+        through `run` (documented trade: full-horizon observability runs the
+        per-tick path, production serving runs the stream).
+        """
+        from .. import stream as stream_mod
+        assert self._mpc_writer is None, \
+            "MPCData horizon streaming requires the per-tick executor (run)"
+        n_chunks = (ticks + chunk - 1) // chunk
+        stream_fn = stream_mod.make_stream_ticks(self.cfg, self.scfg, chunk,
+                                                 dtype=self.dtype,
+                                                 donate=False)
+        states = self.states
+        times = []
+        succ_sum, succ_n, max_viol, n_loop = 0.0, 0, 0.0, 0
+        iters_all = []
+        for ci in range(n_chunks):
+            t0 = time.perf_counter()
+            states, sout = stream_fn(states, self.paths, self.weights,
+                                     self.x_phi_d, self._pref)
+            jax.block_until_ready(states.phi)
+            times.append(time.perf_counter() - t0)
+            succ = np.asarray(sout.success)
+            viol = np.asarray(sout.viol)
+            iters = np.asarray(sout.iters)
+            phi = np.asarray(sout.phi)
+            succ_sum += float(succ.sum())
+            succ_n += succ.size
+            max_viol = max(max_viol, float(viol.max()))
+            n_loop += int(sout.n_loop)
+            iters_all.append(iters)
+            if self._sink is not None:
+                for k in range(succ.shape[0]):
+                    recs = np.stack([
+                        np.full(self.B, ci * chunk + k, dtype=np.float32),
+                        np.arange(self.B, dtype=np.float32),
+                        phi[k].astype(np.float32),
+                        np.zeros(self.B, dtype=np.float32),  # dphi: n/a here
+                        viol[k].astype(np.float32),
+                        iters[k].astype(np.float32),
+                        succ[k].astype(np.float32),
+                        np.zeros(self.B, dtype=np.float32),  # error_count
+                    ], axis=1)
+                    self._sink.push_batch(recs)
+        self.states = states
+        if self._sink is not None:
+            self._sink.flush()
+        iters_all = np.concatenate(iters_all)
+        # Per-lane tick latency: a lane's tick spans its own GN iterations,
+        # each costing one measured loop iteration.
+        loop_iter_s = float(np.sum(times)) / max(n_loop, 1)
+        lane_ms = iters_all.astype(np.float64) * loop_iter_s * 1e3
+        total = float(np.sum(times))
+        return FleetStats(
+            ticks=n_chunks * chunk, batch=self.B,
+            solves_per_s=float(self.B * n_chunks * chunk / total),
+            tick_ms_median=float(np.median(lane_ms)),
+            tick_ms_p99=float(np.percentile(lane_ms, 99)),
+            success_rate=succ_sum / max(succ_n, 1),
+            max_viol=max_viol,
+            mean_phi=float(np.asarray(self.states.phi).mean()),
+        )
+
     def save_checkpoint(self, path: str):
         """Persist the fleet's carried engine state (warm starts, phi state,
         rotation references, failure counters) — resume == continue the

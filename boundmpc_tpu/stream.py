@@ -41,14 +41,28 @@ from . import engine, jerkint, kinematics, ocp, solver as solver_mod
 from .path import PathData
 
 
+class StreamOut(NamedTuple):
+    """Per-tick records, time-major (K, B) like make_scanned_ticks, plus the
+    executed loop-iteration count (the work unit for MFU accounting: every
+    loop iteration executes one batched GN step for ALL B lanes)."""
+
+    success: jnp.ndarray  # (K, B) bool
+    viol: jnp.ndarray  # (K, B)
+    iters: jnp.ndarray  # (K, B) int32
+    phi: jnp.ndarray  # (K, B) path progress after each tick
+    n_loop: jnp.ndarray  # () int32 — global loop iterations executed
+
+
 class StreamCarry(NamedTuple):
     states: engine.EngineState  # (B, ...) engine state per lane
     ls: solver_mod.LoopState  # (B, ...) current solve iteration state
     ctx: solver_mod.StepCtx  # (B, ...) current tick's solve context
     t: jnp.ndarray  # (B,) int32 — ticks committed per lane
+    i: jnp.ndarray  # () int32 — global loop iterations (for MFU accounting)
     succ: jnp.ndarray  # (B, K) bool
     viol: jnp.ndarray  # (B, K)
     iters: jnp.ndarray  # (B, K) int32
+    phi: jnp.ndarray  # (B, K)
 
 
 def _bwhere(mask, new, old):
@@ -93,7 +107,8 @@ def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
         new_state, out = engine.postsolve(cfg, scfg, coeffs, state, path,
                                           ctx.params, u_opt, stats)
         state2, ctx2, ls2 = presolve_lane(new_state, path, w, x, pref1)
-        return state2, ctx2, ls2, out.success, stats.viol, stats.iters
+        return (state2, ctx2, ls2, out.success, stats.viol, stats.iters,
+                new_state.phi)
 
     def stream(states: engine.EngineState, paths: PathData,
                weights: jnp.ndarray, x_phi_d: jnp.ndarray,
@@ -107,9 +122,11 @@ def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
         carry0 = StreamCarry(
             states=states0, ls=ls0, ctx=ctx0,
             t=jnp.zeros(B, jnp.int32),
+            i=jnp.zeros((), jnp.int32),
             succ=jnp.zeros((B, K), bool),
             viol=jnp.zeros((B, K), dtype),
             iters=jnp.zeros((B, K), jnp.int32),
+            phi=jnp.zeros((B, K), dtype),
         )
 
         def cond(c: StreamCarry):
@@ -123,7 +140,8 @@ def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
             solve_done = active & (ls.done | (ls.k >= scfg.max_iters))
 
             def commit_phase(c, ls):
-                st2, ctx2, ls2, succ1, viol1, iters1 = jax.vmap(commit_lane)(
+                (st2, ctx2, ls2, succ1, viol1, iters1,
+                 phi1) = jax.vmap(commit_lane)(
                     c.states, paths, weights, x_phi_d, pref_t, ls, c.ctx)
                 sel = lambda new, old: jax.tree.map(
                     lambda a, b: _bwhere(solve_done, a, b), new, old)
@@ -136,20 +154,24 @@ def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
                     ls=sel(ls2, ls),
                     ctx=sel(ctx2, c.ctx),
                     t=jnp.where(solve_done, c.t + 1, c.t),
+                    i=c.i,
                     succ=rec(c.succ, succ1),
                     viol=rec(c.viol, viol1),
                     iters=rec(c.iters, iters1),
+                    phi=rec(c.phi, phi1),
                 )
 
             def skip_phase(c, ls):
                 return c._replace(ls=ls)
 
-            return jax.lax.cond(jnp.any(solve_done), commit_phase,
-                                skip_phase, c, ls)
+            c2 = jax.lax.cond(jnp.any(solve_done), commit_phase,
+                              skip_phase, c, ls)
+            return c2._replace(i=c.i + 1)
 
         out = jax.lax.while_loop(cond, body, carry0)
-        # Time-major outputs, matching make_scanned_ticks.
-        return out.states, (out.succ.T, out.viol.T, out.iters.T)
+        return out.states, StreamOut(success=out.succ.T, viol=out.viol.T,
+                                     iters=out.iters.T, phi=out.phi.T,
+                                     n_loop=out.i)
 
     def stream_prec(states, paths, weights, x_phi_d, pref):
         # Same trace-time matmul-precision contract as engine.tick.

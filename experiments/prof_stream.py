@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--executor", default="both",
                     choices=["both", "scan", "stream"])
+    ap.add_argument("--max-iters", type=int, default=None)
+    ap.add_argument("--start-ticks", type=int, default=0,
+                    help="advance the fleet this many ticks (stream executor,"
+                         " untimed) before measuring — probe deep-path"
+                         " regions")
     args = ap.parse_args()
 
     import jax
@@ -37,10 +42,19 @@ def main():
 
     cfg = ocp.OcpConfig()
     scfg = solver_mod.RUNTIME_F32
+    if args.max_iters:
+        scfg = scfg._replace(max_iters=args.max_iters)
     B, K = args.B, args.ticks
 
     states0, paths, weights, x_phi_d = _build_batch(B, cfg)
     pref = batch.make_prefactor_batch(cfg, paths, weights, x_phi_d)
+    if args.start_ticks:
+        adv = stream.make_stream_ticks(cfg, scfg, args.start_ticks,
+                                       donate=False)
+        states0, _ = adv(states0, paths, weights, x_phi_d, pref)
+        jax.block_until_ready(states0.phi)
+        print(f"advanced {args.start_ticks} ticks; mean_phi "
+              f"{float(states0.phi.mean()):.3f}")
 
     def run(name, fn):
         # fn donates states; rebuild per rep.
@@ -48,8 +62,9 @@ def main():
         for rep in range(args.reps + 1):  # +1 warmup/compile
             states = jax.tree.map(lambda a: jnp.array(a), states0)
             t0 = time.perf_counter()
-            st, (succ, viol, iters) = fn(states, paths, weights, x_phi_d,
-                                         pref)
+            st, aux = fn(states, paths, weights, x_phi_d, pref)
+            succ, viol, iters = aux[0], aux[1], aux[2]
+            n_loop = getattr(aux, "n_loop", None)
             jax.block_until_ready(st.phi)
             dt = time.perf_counter() - t0
             if rep:
@@ -58,10 +73,11 @@ def main():
         viol = np.asarray(viol)
         iters = np.asarray(iters)
         dt = float(np.median(results))
+        extra = f"  loop_iters {int(n_loop)}" if n_loop is not None else ""
         print(f"{name:8s}  total {dt*1e3:8.1f} ms  per-tick {dt/K*1e3:6.1f} ms"
               f"  solves/s {B*K/dt:8.1f}  success {succ.mean():.5f}"
               f"  max_viol {viol.max():.2e}  mean_iters {iters.mean():.2f}"
-              f"  p99_iters {np.percentile(iters, 99):.0f}")
+              f"  p99_iters {np.percentile(iters, 99):.0f}" + extra)
         return B * K / dt
 
     out = {}

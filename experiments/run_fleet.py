@@ -41,6 +41,11 @@ def main():
                     help="load a fleet checkpoint before running")
     ap.add_argument("--sharded", action="store_true",
                     help="shard_map over all (global) devices")
+    ap.add_argument("--executor", choices=["stream", "tick"],
+                    default="stream",
+                    help="stream = fused async executor (production serving,"
+                         " ~2x); tick = per-tick lockstep (required for"
+                         " --mpcdata horizon streaming)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     # multi-host bring-up (jax.distributed; call once per host)
     ap.add_argument("--coordinator", default=None)
@@ -117,13 +122,18 @@ def main():
                         mpcdata_path=args.mpcdata)
     if args.resume:
         fleet.load_checkpoint(args.resume)
-    stats = fleet.run(ticks=args.ticks)
+    use_stream = args.executor == "stream" and args.mpcdata is None
+    if use_stream:
+        stats = fleet.run_stream(ticks=args.ticks)
+    else:
+        stats = fleet.run(ticks=args.ticks)
     if args.checkpoint:
         fleet.save_checkpoint(args.checkpoint)
         print(f"checkpoint: {args.checkpoint}")
     fleet.close()
     print(json.dumps({
-        "mode": "vmap", "batch": stats.batch, "ticks": stats.ticks,
+        "mode": "stream" if use_stream else "vmap",
+        "batch": stats.batch, "ticks": stats.ticks,
         "solves_per_s": round(stats.solves_per_s, 1),
         "tick_ms_median": round(stats.tick_ms_median, 2),
         "tick_ms_p99": round(stats.tick_ms_p99, 2),

@@ -30,8 +30,9 @@ def _run_both(K, B, dtype):
     scanned = batch.make_scanned_ticks(f.cfg, f.scfg, K, dtype=dtype)
     a = scanned(copy(f.states), f.paths, f.weights, f.x_phi_d, f._pref)
     streamed = stream.make_stream_ticks(f.cfg, f.scfg, K, dtype=dtype)
-    b = streamed(copy(f.states), f.paths, f.weights, f.x_phi_d, f._pref)
-    return a, b
+    st_b, so = streamed(copy(f.states), f.paths, f.weights, f.x_phi_d,
+                        f._pref)
+    return a, (st_b, (so.success, so.viol, so.iters))
 
 
 def test_stream_matches_scanned_f64():
@@ -76,8 +77,16 @@ def test_stream_progress_and_success():
     B, K = 4, 25
     f = _fleet(B, seed=11)
     streamed = stream.make_stream_ticks(f.cfg, f.scfg, K)
-    st, (succ, viol, iters) = streamed(
-        f.states, f.paths, f.weights, f.x_phi_d, f._pref)
+    st, so = streamed(f.states, f.paths, f.weights, f.x_phi_d, f._pref)
+    succ, viol, iters = so.success, so.viol, so.iters
+    # Sanity on the loop counter: at least max-total-iterations.
+    total = np.asarray(iters).sum(axis=0)
+    assert int(so.n_loop) >= total.max()
+    # Recorded per-tick phi must be monotone per lane and end at the final
+    # state's phi.
+    phi_rec = np.asarray(so.phi)
+    assert (np.diff(phi_rec, axis=0) >= -1e-6).all()
+    np.testing.assert_allclose(phi_rec[-1], np.asarray(st.phi), atol=1e-6)
     succ = np.asarray(succ)
     assert succ.mean() > 0.97
     phi = np.asarray(st.phi)
