@@ -157,8 +157,9 @@ def main():
     # correctness is reported from the timed ticks.
     states, _ = stream_b(states, paths, weights, x_phi_d, pref)
     jax.block_until_ready(states.phi)
-    succ_all, viol_all, iters_all, nloop_all = [], [], [], []
+    succ_all, viol_all, iters_all, nloop_all, dead_all = [], [], [], [], []
     times = []
+    prev_dead = np.asarray(states.dead)
     for _ in range(4):
         t0 = time.perf_counter()
         states, sout = stream_b(states, paths, weights, x_phi_d, pref)
@@ -168,10 +169,18 @@ def main():
         viol_all.append(np.asarray(sout.viol))
         iters_all.append(np.asarray(sout.iters))
         nloop_all.append(int(sout.n_loop))
+        dead_all.append(np.asarray(sout.dead))
     per_tick = float(np.median(times)) / K
     succ_all = np.concatenate(succ_all)  # (ticks, B)
     viol_all = np.concatenate(viol_all)
     iters_all = np.concatenate(iters_all)
+    dead_all = np.concatenate(dead_all)
+    # Live mask: a dead lane is a STOPPED robot (the reference node stops
+    # logging it, bound_mpc_node.py:306-307) — its death tick counts once
+    # as a failure; later ticks of that lane are excluded and n_dead
+    # reported.  sout.dead is dead-AFTER-tick; shift for dead-BEFORE.
+    live_all = ~np.concatenate([prev_dead[None, :], dead_all[:-1]], axis=0)
+    n_dead = int(dead_all[-1].sum())
     # Per-lane tail latency: one stream loop iteration advances every lane
     # by one GN step, so a lane's tick takes (its iterations) x (loop-iter
     # wall time).  p99 over all lane-ticks = each robot's control-deadline
@@ -179,14 +188,17 @@ def main():
     loop_iter_s = float(np.sum(times)) / max(sum(nloop_all), 1)
     lane_tick_p99_ms = float(np.percentile(iters_all, 99)) * loop_iter_s * 1e3
 
-    # Postmortem: identify the worst lane-tick if anything diverged.
+    # Postmortem: identify the worst LIVE lane-tick if anything diverged.
     postmortem = None
-    if viol_all.max() > 1.0:
-        t_bad, lane_bad = np.unravel_index(np.argmax(viol_all), viol_all.shape)
+    viol_live = np.where(live_all, viol_all, 0.0)
+    if viol_live.max() > 1.0 or n_dead:
+        t_bad, lane_bad = np.unravel_index(np.argmax(viol_live),
+                                           viol_live.shape)
         postmortem = {
             "scenario": int(lane_bad),
             "tick": int(t_bad),
-            "viol": float(viol_all[t_bad, lane_bad]),
+            "viol": float(viol_live[t_bad, lane_bad]),
+            "n_dead": n_dead,
             "lane_viol_history": [float(v) for v in viol_all[:, lane_bad]],
             "repro": f"python experiments/debug_f32.py --B {B} "
                      f"--subset {int(lane_bad)} --ticks 40",
@@ -250,8 +262,9 @@ def main():
         "lockstep_tick_ms": round(float(np.median(lat)) * 1e3, 2),
         "lockstep_tick_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
         "b1_latency_ms": round(float(np.median(lat1)) * 1e3, 2),
-        "success_rate": round(float(succ_all.mean()), 4),
-        "max_viol": float(viol_all.max()),
+        "success_rate": round(float(succ_all[live_all].mean()), 4),
+        "max_viol": float(viol_live.max()),
+        "n_dead": n_dead,
         "mean_iters": round(float(iters_all.mean()), 1),
         "ticks_measured": int(succ_all.shape[0]),
         "b256_solves_per_s": round(solves_per_s, 1),

@@ -26,9 +26,15 @@ class FleetStats:
     solves_per_s: float
     tick_ms_median: float
     tick_ms_p99: float
+    # success/viol aggregate over LIVE lane-ticks only: a dead lane is a
+    # STOPPED robot (the reference node stops logging it after N consecutive
+    # failures, bound_mpc_node.py:306-307) — its death tick counts as a
+    # failure once, and n_dead reports it; replaying its frozen state as a
+    # new failure every subsequent tick would double-count one event.
     success_rate: float
     max_viol: float
     mean_phi: float
+    n_dead: int = 0
 
 
 class FleetRunner:
@@ -96,6 +102,7 @@ class FleetRunner:
         succ_sum = 0.0
         succ_n = 0
         max_viol = 0.0
+        dead_prev = np.asarray(states.dead)
         for k in range(ticks):
             t0 = time.perf_counter()
             states, out = self._tick(states, self.paths, self.weights,
@@ -105,11 +112,17 @@ class FleetRunner:
             # Aggregate correctness over EVERY tick, not just the last one —
             # a transient mid-run failure wave must show in the stats (the
             # reference's `fails` series is likewise cumulative,
-            # bound_mpc_node.py:310).
-            succ = np.asarray(out.success)
+            # bound_mpc_node.py:310) — but only over LIVE lanes (see
+            # FleetStats: a dead lane is a stopped robot, not a repeating
+            # failure).
+            live = ~dead_prev
+            succ = np.asarray(out.success)[live]
             succ_sum += float(succ.sum())
             succ_n += succ.size
-            max_viol = max(max_viol, float(np.asarray(out.stats.viol).max()))
+            viol = np.asarray(out.stats.viol)[live]
+            if viol.size:
+                max_viol = max(max_viol, float(viol.max()))
+            dead_prev = np.asarray(states.dead)
             if self._mpc_writer is not None:
                 ev = self._ev(out.params, jnp.asarray(out.u))
                 self._mpc_writer.push_tick(k, states, out, ev.err, ev.ref,
@@ -142,6 +155,7 @@ class FleetRunner:
             success_rate=succ_sum / max(succ_n, 1),
             max_viol=max_viol,
             mean_phi=float(np.asarray(self.states.phi).mean()),
+            n_dead=int(np.asarray(self.states.dead).sum()),
         )
 
     def run_stream(self, ticks: int = 100, chunk: int = 10) -> FleetStats:
@@ -165,6 +179,7 @@ class FleetRunner:
         times = []
         succ_sum, succ_n, max_viol, n_loop = 0.0, 0, 0.0, 0
         iters_all = []
+        prev_dead = np.asarray(states.dead)
         for ci in range(n_chunks):
             t0 = time.perf_counter()
             states, sout = stream_fn(states, self.paths, self.weights,
@@ -175,9 +190,15 @@ class FleetRunner:
             viol = np.asarray(sout.viol)
             iters = np.asarray(sout.iters)
             phi = np.asarray(sout.phi)
-            succ_sum += float(succ.sum())
-            succ_n += succ.size
-            max_viol = max(max_viol, float(viol.max()))
+            # Live mask: lane-ticks before (and including) the death tick
+            # (sout.dead is dead-AFTER-tick; shift by one for dead-BEFORE).
+            dead = np.asarray(sout.dead)
+            live = ~np.concatenate([prev_dead[None, :], dead[:-1]], axis=0)
+            prev_dead = dead[-1]
+            succ_sum += float(succ[live].sum())
+            succ_n += int(live.sum())
+            if live.any():
+                max_viol = max(max_viol, float(viol[live].max()))
             n_loop += int(sout.n_loop)
             iters_all.append(iters)
             if self._sink is not None:
@@ -210,6 +231,7 @@ class FleetRunner:
             success_rate=succ_sum / max(succ_n, 1),
             max_viol=max_viol,
             mean_phi=float(np.asarray(self.states.phi).mean()),
+            n_dead=int(np.asarray(self.states.dead).sum()),
         )
 
     def save_checkpoint(self, path: str):

@@ -50,6 +50,7 @@ class StreamOut(NamedTuple):
     viol: jnp.ndarray  # (K, B)
     iters: jnp.ndarray  # (K, B) int32
     phi: jnp.ndarray  # (K, B) path progress after each tick
+    dead: jnp.ndarray  # (K, B) bool — lane stopped at/before this tick
     n_loop: jnp.ndarray  # () int32 — global loop iterations executed
 
 
@@ -63,6 +64,7 @@ class StreamCarry(NamedTuple):
     viol: jnp.ndarray  # (B, K)
     iters: jnp.ndarray  # (B, K) int32
     phi: jnp.ndarray  # (B, K)
+    dead: jnp.ndarray  # (B, K)
 
 
 def _bwhere(mask, new, old):
@@ -108,7 +110,7 @@ def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
                                           ctx.params, u_opt, stats)
         state2, ctx2, ls2 = presolve_lane(new_state, path, w, x, pref1)
         return (state2, ctx2, ls2, out.success, stats.viol, stats.iters,
-                new_state.phi)
+                new_state.phi, new_state.dead)
 
     def stream(states: engine.EngineState, paths: PathData,
                weights: jnp.ndarray, x_phi_d: jnp.ndarray,
@@ -127,6 +129,7 @@ def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
             viol=jnp.zeros((B, K), dtype),
             iters=jnp.zeros((B, K), jnp.int32),
             phi=jnp.zeros((B, K), dtype),
+            dead=jnp.zeros((B, K), bool),
         )
 
         def cond(c: StreamCarry):
@@ -140,8 +143,8 @@ def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
             solve_done = active & (ls.done | (ls.k >= scfg.max_iters))
 
             def commit_phase(c, ls):
-                (st2, ctx2, ls2, succ1, viol1, iters1,
-                 phi1) = jax.vmap(commit_lane)(
+                (st2, ctx2, ls2, succ1, viol1, iters1, phi1,
+                 dead1) = jax.vmap(commit_lane)(
                     c.states, paths, weights, x_phi_d, pref_t, ls, c.ctx)
                 sel = lambda new, old: jax.tree.map(
                     lambda a, b: _bwhere(solve_done, a, b), new, old)
@@ -159,6 +162,7 @@ def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
                     viol=rec(c.viol, viol1),
                     iters=rec(c.iters, iters1),
                     phi=rec(c.phi, phi1),
+                    dead=rec(c.dead, dead1),
                 )
 
             def skip_phase(c, ls):
@@ -171,7 +175,7 @@ def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
         out = jax.lax.while_loop(cond, body, carry0)
         return out.states, StreamOut(success=out.succ.T, viol=out.viol.T,
                                      iters=out.iters.T, phi=out.phi.T,
-                                     n_loop=out.i)
+                                     dead=out.dead.T, n_loop=out.i)
 
     def stream_prec(states, paths, weights, x_phi_d, pref):
         # Same trace-time matmul-precision contract as engine.tick.

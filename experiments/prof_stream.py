@@ -49,12 +49,15 @@ def main():
     states0, paths, weights, x_phi_d = _build_batch(B, cfg)
     pref = batch.make_prefactor_batch(cfg, paths, weights, x_phi_d)
     if args.start_ticks:
-        adv = stream.make_stream_ticks(cfg, scfg, args.start_ticks,
-                                       donate=False)
-        states0, _ = adv(states0, paths, weights, x_phi_d, pref)
+        # Advance with the SAME K-sized program the measurement uses (one
+        # compile); K=70-sized one-off stream programs have wedged the
+        # remote compiler.
+        adv = stream.make_stream_ticks(cfg, scfg, K, donate=False)
+        for _ in range((args.start_ticks + K - 1) // K):
+            states0, _ = adv(states0, paths, weights, x_phi_d, pref)
         jax.block_until_ready(states0.phi)
         print(f"advanced {args.start_ticks} ticks; mean_phi "
-              f"{float(states0.phi.mean()):.3f}")
+              f"{float(states0.phi.mean()):.3f}", flush=True)
 
     def run(name, fn):
         # fn donates states; rebuild per rep.

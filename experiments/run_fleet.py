@@ -139,6 +139,7 @@ def main():
         "tick_ms_p99": round(stats.tick_ms_p99, 2),
         "success_rate": round(stats.success_rate, 4),
         "max_viol": stats.max_viol,
+        "n_dead": stats.n_dead,
         "mean_phi": round(stats.mean_phi, 4),
     }))
 
