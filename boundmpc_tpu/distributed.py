@@ -58,6 +58,7 @@ class ShardedEngine:
 
         self._tick1 = partial(engine.tick, cfg, scfg, coeffs, limits)
         self._tick_fns = {}
+        self._stream_fns = {}
 
     def _get_tick(self, has_pref: bool):
         if has_pref in self._tick_fns:
@@ -117,6 +118,64 @@ class ShardedEngine:
         if pref is None:
             return self._get_tick(False)(states, paths, weights, x_phi_d)
         return self._get_tick(True)(states, paths, weights, x_phi_d, pref)
+
+    def _get_stream(self, n_ticks: int):
+        if n_ticks in self._stream_fns:
+            return self._stream_fns[n_ticks]
+        from . import stream as stream_mod
+
+        fn = stream_mod.make_stream_fn(self.cfg, self.scfg, n_ticks,
+                                       dtype=self.dtype)
+        metric_keys = ("n_success", "n_dead", "total_iters", "max_viol",
+                       "mean_phi", "n_loop")
+
+        def shard_stream(states, paths, weights, x_phi_d, pref):
+            # Each device runs its OWN fused async while_loop over its local
+            # lanes: a slow lane on one chip never stalls another chip —
+            # the only cross-device traffic is the final metric reduction.
+            new_states, out = fn(states, paths, weights, x_phi_d, pref)
+            live = ~out.dead  # conservative: death-tick rows stay counted
+            metrics = {
+                "n_success": jax.lax.psum(
+                    jnp.sum(out.success.astype(jnp.int32)), "scenario"),
+                "n_dead": jax.lax.psum(
+                    jnp.sum(new_states.dead.astype(jnp.int32)), "scenario"),
+                "total_iters": jax.lax.psum(jnp.sum(out.iters), "scenario"),
+                "max_viol": jax.lax.pmax(
+                    jnp.max(jnp.where(live, out.viol, 0.0)), "scenario"),
+                "mean_phi": jax.lax.pmean(jnp.mean(new_states.phi),
+                                          "scenario"),
+                # Per-device loop trip counts DIFFER (that is the point);
+                # report the ICI-summed total as the executed-work unit.
+                "n_loop": jax.lax.psum(out.n_loop, "scenario"),
+            }
+            out = out._replace(n_loop=metrics["n_loop"])
+            return new_states, out, metrics
+
+        out_stream_spec = stream_mod.StreamOut(
+            success=P(None, "scenario"), viol=P(None, "scenario"),
+            iters=P(None, "scenario"), phi=P(None, "scenario"),
+            dead=P(None, "scenario"), n_loop=P())
+        sharded = jax.shard_map(
+            shard_stream,
+            mesh=self.mesh,
+            in_specs=(P("scenario"),) * 5,
+            out_specs=(P("scenario"), out_stream_spec,
+                       {k: P() for k in metric_keys}),
+            check_vma=False,
+        )
+        jitted = jax.jit(sharded, donate_argnums=(0,))
+        self._stream_fns[n_ticks] = jitted
+        return jitted
+
+    def stream(self, states, paths, weights, x_phi_d, pref, n_ticks: int):
+        """Run ``n_ticks`` control periods through the async stream executor
+        (stream.py) sharded over the scenario mesh.  Returns
+        (states', StreamOut, metrics) — StreamOut series are time-major
+        (K, B) like the single-mesh executor; metrics are ICI-reduced fleet
+        aggregates."""
+        return self._get_stream(n_ticks)(states, paths, weights, x_phi_d,
+                                         pref)
 
 
 def make_train_step_like(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,

@@ -303,6 +303,27 @@ def presolve(cfg, scfg, state, path, weights, x_phi_d):
     #     boundary-hugging iterate into the interior, the linearization
     #     breaks, and one marginal failure becomes a death spiral).
     shock = crossed_window | (state.error_count > 0)
+    # Deep-failure COLD RESTART (the bench-postmortem death-spiral fix): two
+    # consecutive failures mean the warm CHAIN is poisoned — the fresh
+    # solves diverged, so every further mu_shift restart re-solves from
+    # inside the same broken basin and the lane death-spirals to viol ~1e3
+    # (bench r4 postmortem, lane 250: 0.089 -> 0.27 -> 1.1 -> ... -> dead).
+    # EXACTLY at the second failure, discard the chain: re-seed the solver
+    # from the last GATED safe plan (u_safe — two shifts stale but on the
+    # solution manifold), under the ordinary mu_shift shock continuation.
+    # Fires once per failure streak (== not >=): if the reset shot itself
+    # fails, the ordinary warm-chain policy resumes from its iterate.
+    # Two rejected alternatives, both measured WORSE on the hard region
+    # (experiments/prof_stream.py --start-ticks 60 A/B): re-seeding every
+    # tick while error_count >= 2 re-diverges mid-recovery lanes (success
+    # 0.995 -> 0.987), and walking mu from mu_init slams the
+    # boundary-hugging safe plan into the interior (the round-2 divergence
+    # mechanism, see the mu-tier comment above).  Reference analog: Ipopt
+    # is warm-start-independent enough to recover from any iterate; our
+    # warm-chained GN needs the explicit basin reset.
+    deep = state.has_prev & (state.error_count == 2)
+    state = state._replace(
+        u_warm=jnp.where(deep, state.u_safe, state.u_warm))
     mu0 = jnp.where(state.has_prev,
                     jnp.where(shock, scfg.mu_shift, scfg.mu_warm),
                     scfg.mu_init)

@@ -73,16 +73,21 @@ def _bwhere(mask, new, old):
     return jnp.where(m, new, old)
 
 
-def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
-                      n_ticks: int, dtype=jnp.float32, donate: bool = True):
-    """Fused asynchronous executor for ``n_ticks`` control periods.
+def make_stream_fn(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
+                   n_ticks: int, dtype=jnp.float32):
+    """UNJITTED stream executor body for ``n_ticks`` control periods.
 
-    Returns fn(states, paths, weights (B, 15), x_phi_d (B, 3), pref) ->
-    (states', (success (K, B), viol (K, B), iters (K, B))) — the same
-    signature and output layout as `batch.make_scanned_ticks`, so the fleet
-    runner and bench can swap executors.  ``pref`` (batched QrPrefactor) is
-    required: the per-lane solve context is re-built every tick inside the
-    loop and must not re-factor the linear block there.
+    fn(states, paths, weights (B, 15), x_phi_d (B, 3), pref) ->
+    (states', StreamOut) — the same signature and output layout as
+    `batch.make_scanned_ticks`, so the fleet runner and bench can swap
+    executors.  ``pref`` (batched QrPrefactor) is required: the per-lane
+    solve context is re-built every tick inside the loop and must not
+    re-factor the linear block there.
+
+    Exposed unjitted so `distributed.ShardedEngine.stream` can wrap it in
+    `shard_map` — each device then runs its OWN fused while_loop over its
+    local lanes, so straggler coupling never crosses ICI; use
+    `make_stream_ticks` for the single-mesh jitted form.
     """
     K = n_ticks
     coeffs = jerkint.coeff_matrices(cfg.N, cfg.dt, dtype=dtype)
@@ -182,4 +187,11 @@ def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
         with jax.default_matmul_precision("float32"):
             return stream(states, paths, weights, x_phi_d, pref)
 
-    return jax.jit(stream_prec, donate_argnums=(0,) if donate else ())
+    return stream_prec
+
+
+def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
+                      n_ticks: int, dtype=jnp.float32, donate: bool = True):
+    """Jitted single-mesh stream executor (see `make_stream_fn`)."""
+    fn = make_stream_fn(cfg, scfg, n_ticks, dtype=dtype)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

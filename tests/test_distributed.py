@@ -56,3 +56,44 @@ def test_sharded_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(st1.q), np.asarray(st8.q), rtol=1e-4, atol=1e-5
     )
+
+
+def test_sharded_stream_matches_unsharded():
+    """The async stream executor under shard_map: per-device independent
+    while_loops must reproduce the single-mesh stream executor's per-lane
+    trajectories (lanes never interact, so placement is invisible)."""
+    from boundmpc_tpu import batch as batch_mod, stream as stream_mod
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = ocp.OcpConfig()
+    scfg = solver_mod.RUNTIME_F32._replace(max_iters=8)
+    K = 4
+    states, paths, weights, x_phi_d = _build_batch(16, cfg)
+    pref = batch_mod.make_prefactor_batch(cfg, paths, weights, x_phi_d)
+
+    fn1 = stream_mod.make_stream_ticks(cfg, scfg, K, donate=False)
+    st1, out1 = fn1(states, paths, weights, x_phi_d, pref)
+
+    mesh = distributed.scenario_mesh(devices[:8])
+    eng = distributed.ShardedEngine(cfg, scfg, mesh, dtype=jnp.float32)
+    st8, out8, metrics = eng.stream(
+        eng.sharding(states), eng.sharding(paths), eng.sharding(weights),
+        eng.sharding(x_phi_d), eng.sharding(pref), n_ticks=K,
+    )
+    assert out8.success.shape == (K, 16)
+    np.testing.assert_array_equal(np.asarray(out1.success),
+                                  np.asarray(out8.success))
+    np.testing.assert_allclose(np.asarray(out1.phi), np.asarray(out8.phi),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st1.phi), np.asarray(st8.phi),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st1.q), np.asarray(st8.q),
+                               rtol=1e-4, atol=1e-5)
+    # ICI-reduced aggregates agree with host-side reduction of the series.
+    assert int(metrics["n_success"]) == int(np.asarray(out1.success).sum())
+    # Sum of per-device trip counts >= the single-mesh loop's trip count
+    # (the global loop runs to the slowest lane; per-device loops stop at
+    # their own slowest lane).
+    assert int(metrics["n_loop"]) >= int(out1.n_loop) // 8

@@ -126,6 +126,62 @@ def test_acceptable_failure_executes_fresh_plan():
                                np.asarray(state_f.u_safe))
 
 
+def test_deep_failure_cold_restart_recovers():
+    """Two consecutive failures trigger the cold-restart tier: the poisoned
+    warm chain is replaced by the neutral rest seed and the solve walks the
+    full mu continuation — the lane recovers instead of death-spiraling
+    (the bench-r4 postmortem mechanism; engine.presolve `deep` tier)."""
+    sc = experiment1()
+    cfg = ocp.OcpConfig()
+    path = sc.build(dtype=np.float64)
+    coeffs = jerkint.coeff_matrices(cfg.N, cfg.dt, dtype=jnp.float64)
+    limits = kinematics.robot_limits()
+    weights = jnp.asarray(sc.weights)
+    x_phi_d = jnp.asarray([float(path.phi_max) - 1e-4, 0.0, 0.0])
+    state = engine.init_state(cfg, sc.q0, dtype=jnp.float64)
+    scfg = solver_mod.SolverConfig()
+
+    for _ in range(6):
+        state, out = engine.tick(cfg, scfg, coeffs, limits, state, path,
+                                 weights, x_phi_d)
+    assert bool(out.success)
+
+    # Poison the warm chain the way a death spiral does: the warm start
+    # holds garbage (diverged fresh solves chained into it) while u_safe
+    # still holds the last gated plan, with two failures on the counter.
+    rng = np.random.default_rng(7)
+    garbage = jnp.asarray(
+        rng.uniform(-40.0, 40.0, size=state.u_warm.shape), jnp.float64)
+    poisoned = state._replace(u_warm=garbage,
+                              error_count=jnp.asarray(2, jnp.int32))
+
+    # The cold-restart tier must re-seed the solver from u_safe: the tick
+    # succeeds and the lane's failure counter clears.
+    st2, out2 = engine.tick(cfg, scfg, coeffs, limits, poisoned, path,
+                            weights, x_phi_d)
+    assert bool(out2.success), \
+        f"cold restart failed: viol {float(out2.stats.viol):.3e}"
+    assert int(st2.error_count) == 0
+    assert not bool(st2.dead)
+
+    # The pinned contract: the tier itself re-seeds u_warm from the safe
+    # plan under the ordinary shock continuation.
+    st_pre, _, mu0, _ = engine.presolve(cfg, scfg, poisoned, path, weights,
+                                        x_phi_d)
+    np.testing.assert_allclose(np.asarray(st_pre.u_warm),
+                               np.asarray(poisoned.u_safe))
+    assert float(mu0) == scfg.mu_shift
+    # ...and fires only at EXACTLY the second failure (a third failure
+    # resumes the ordinary warm-chain policy instead of re-diverging a
+    # mid-recovery lane).
+    st_pre3, _, mu3, _ = engine.presolve(
+        cfg, scfg, poisoned._replace(error_count=jnp.asarray(3, jnp.int32)),
+        path, weights, x_phi_d)
+    np.testing.assert_allclose(np.asarray(st_pre3.u_warm),
+                               np.asarray(garbage))
+    assert float(mu3) == scfg.mu_shift
+
+
 def test_first_failure_without_prev_uses_infeasible():
     """Reference :479-489: with no previous solution the infeasible solution
     is used anyway and error_count resets."""
