@@ -126,18 +126,31 @@ class ShardedEngine:
 
         fn = stream_mod.make_stream_fn(self.cfg, self.scfg, n_ticks,
                                        dtype=self.dtype)
-        metric_keys = ("n_success", "n_dead", "total_iters", "max_viol",
-                       "mean_phi", "n_loop")
+        metric_keys = ("n_success", "n_live", "n_dead", "total_iters",
+                       "max_viol", "mean_phi", "n_loop")
 
         def shard_stream(states, paths, weights, x_phi_d, pref):
             # Each device runs its OWN fused async while_loop over its local
             # lanes: a slow lane on one chip never stalls another chip —
             # the only cross-device traffic is the final metric reduction.
             new_states, out = fn(states, paths, weights, x_phi_d, pref)
-            live = ~out.dead  # conservative: death-tick rows stay counted
+            # Live mask matches FleetRunner.run_stream: out.dead is
+            # dead-AFTER-tick, so shift by one tick (pre-call dead for tick
+            # 0) — the death tick's row, typically the violation that killed
+            # the lane, stays counted; later ticks of a dead lane are a
+            # stopped robot.
+            live = ~jnp.concatenate([states.dead[None], out.dead[:-1]],
+                                    axis=0)
             metrics = {
                 "n_success": jax.lax.psum(
-                    jnp.sum(out.success.astype(jnp.int32)), "scenario"),
+                    jnp.sum((out.success & live).astype(jnp.int32)),
+                    "scenario"),
+                # Live lane-tick count: the success_rate denominator under
+                # the FleetStats contract (success_rate = n_success/n_live —
+                # dead lanes always record success=False and must not drag
+                # the rate).
+                "n_live": jax.lax.psum(
+                    jnp.sum(live.astype(jnp.int32)), "scenario"),
                 "n_dead": jax.lax.psum(
                     jnp.sum(new_states.dead.astype(jnp.int32)), "scenario"),
                 "total_iters": jax.lax.psum(jnp.sum(out.iters), "scenario"),
@@ -155,6 +168,7 @@ class ShardedEngine:
         out_stream_spec = stream_mod.StreamOut(
             success=P(None, "scenario"), viol=P(None, "scenario"),
             iters=P(None, "scenario"), phi=P(None, "scenario"),
+            dphi=P(None, "scenario"), error_count=P(None, "scenario"),
             dead=P(None, "scenario"), n_loop=P())
         sharded = jax.shard_map(
             shard_stream,

@@ -190,6 +190,8 @@ class FleetRunner:
             viol = np.asarray(sout.viol)
             iters = np.asarray(sout.iters)
             phi = np.asarray(sout.phi)
+            dphi = np.asarray(sout.dphi)
+            errc = np.asarray(sout.error_count)
             # Live mask: lane-ticks before (and including) the death tick
             # (sout.dead is dead-AFTER-tick; shift by one for dead-BEFORE).
             dead = np.asarray(sout.dead)
@@ -202,16 +204,19 @@ class FleetRunner:
             n_loop += int(sout.n_loop)
             iters_all.append(iters)
             if self._sink is not None:
+                # Same field contract as the per-tick executor's records:
+                # dphi/error_count come from the executor's recorded series
+                # (StreamOut carries them since r5 — no placeholder zeros).
                 for k in range(succ.shape[0]):
                     recs = np.stack([
                         np.full(self.B, ci * chunk + k, dtype=np.float32),
                         np.arange(self.B, dtype=np.float32),
                         phi[k].astype(np.float32),
-                        np.zeros(self.B, dtype=np.float32),  # dphi: n/a here
+                        dphi[k].astype(np.float32),
                         viol[k].astype(np.float32),
                         iters[k].astype(np.float32),
                         succ[k].astype(np.float32),
-                        np.zeros(self.B, dtype=np.float32),  # error_count
+                        errc[k].astype(np.float32),
                     ], axis=1)
                     self._sink.push_batch(recs)
         self.states = states

@@ -50,6 +50,8 @@ class StreamOut(NamedTuple):
     viol: jnp.ndarray  # (K, B)
     iters: jnp.ndarray  # (K, B) int32
     phi: jnp.ndarray  # (K, B) path progress after each tick
+    dphi: jnp.ndarray  # (K, B) path speed after each tick
+    error_count: jnp.ndarray  # (K, B) int32 consecutive-failure counter
     dead: jnp.ndarray  # (K, B) bool — lane stopped at/before this tick
     n_loop: jnp.ndarray  # () int32 — global loop iterations executed
 
@@ -64,6 +66,8 @@ class StreamCarry(NamedTuple):
     viol: jnp.ndarray  # (B, K)
     iters: jnp.ndarray  # (B, K) int32
     phi: jnp.ndarray  # (B, K)
+    dphi: jnp.ndarray  # (B, K)
+    errc: jnp.ndarray  # (B, K) int32
     dead: jnp.ndarray  # (B, K)
 
 
@@ -74,7 +78,8 @@ def _bwhere(mask, new, old):
 
 
 def make_stream_fn(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
-                   n_ticks: int, dtype=jnp.float32):
+                   n_ticks: int, dtype=jnp.float32,
+                   cohort: int | None = None):
     """UNJITTED stream executor body for ``n_ticks`` control periods.
 
     fn(states, paths, weights (B, 15), x_phi_d (B, 3), pref) ->
@@ -84,12 +89,18 @@ def make_stream_fn(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
     solve context is re-built every tick inside the loop and must not
     re-factor the linear block there.
 
+    ``cohort``: minimum number of finished lanes required to trigger the
+    (whole-batch-cost) commit phase; None -> max(1, B // 16).  Per-lane
+    numerics are cohort-invariant (see the commit_phase comment); 1
+    reproduces the round-4 commit-on-any-done behavior.
+
     Exposed unjitted so `distributed.ShardedEngine.stream` can wrap it in
     `shard_map` — each device then runs its OWN fused while_loop over its
     local lanes, so straggler coupling never crosses ICI; use
     `make_stream_ticks` for the single-mesh jitted form.
     """
     K = n_ticks
+    cohort_arg = cohort
     coeffs = jerkint.coeff_matrices(cfg.N, cfg.dt, dtype=dtype)
     limits = kinematics.robot_limits()
     limits = jax.tree.map(
@@ -115,12 +126,14 @@ def make_stream_fn(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
                                           ctx.params, u_opt, stats)
         state2, ctx2, ls2 = presolve_lane(new_state, path, w, x, pref1)
         return (state2, ctx2, ls2, out.success, stats.viol, stats.iters,
-                new_state.phi, new_state.dead)
+                new_state.phi, new_state.dphi, out.error_count,
+                new_state.dead)
 
     def stream(states: engine.EngineState, paths: PathData,
                weights: jnp.ndarray, x_phi_d: jnp.ndarray,
                pref: solver_mod.QrPrefactor):
         B = states.phi.shape[0]
+        cohort = cohort_arg if cohort_arg is not None else max(1, B // 16)
         step = solver_mod.make_stepper(cfg, scfg, coeffs, limits, dtype)
         pref_t = (pref.R0, pref.Q0T)
 
@@ -134,6 +147,8 @@ def make_stream_fn(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
             viol=jnp.zeros((B, K), dtype),
             iters=jnp.zeros((B, K), jnp.int32),
             phi=jnp.zeros((B, K), dtype),
+            dphi=jnp.zeros((B, K), dtype),
+            errc=jnp.zeros((B, K), jnp.int32),
             dead=jnp.zeros((B, K), bool),
         )
 
@@ -148,7 +163,7 @@ def make_stream_fn(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
             solve_done = active & (ls.done | (ls.k >= scfg.max_iters))
 
             def commit_phase(c, ls):
-                (st2, ctx2, ls2, succ1, viol1, iters1, phi1,
+                (st2, ctx2, ls2, succ1, viol1, iters1, phi1, dphi1, errc1,
                  dead1) = jax.vmap(commit_lane)(
                     c.states, paths, weights, x_phi_d, pref_t, ls, c.ctx)
                 sel = lambda new, old: jax.tree.map(
@@ -167,19 +182,38 @@ def make_stream_fn(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
                     viol=rec(c.viol, viol1),
                     iters=rec(c.iters, iters1),
                     phi=rec(c.phi, phi1),
+                    dphi=rec(c.dphi, dphi1),
+                    errc=rec(c.errc, errc1),
                     dead=rec(c.dead, dead1),
                 )
 
             def skip_phase(c, ls):
                 return c._replace(ls=ls)
 
-            c2 = jax.lax.cond(jnp.any(solve_done), commit_phase,
-                              skip_phase, c, ls)
+            # Cohort commit (the B>=1024 scaling fix): the commit phase runs
+            # the full vmapped commit_lane — presolve + postsolve + FK
+            # rollouts — over ALL B lanes, so invoking it on every loop
+            # iteration where *any* lane finishes makes commits the dominant
+            # cost at large B (at B>=1024 some lane finishes essentially
+            # every iteration; measured r4: 512 -> 1902, 1024 -> 1115
+            # solves/s).  Batching commits until >= ``cohort`` lanes are
+            # pending amortizes that cost ~cohort-fold.  A pending lane just
+            # waits (its GN stepping is masked off), so per-lane NUMERICS are
+            # unchanged — only the interleaving of commits shifts, which is
+            # invisible outside the loop (lanes are independent).  Commits
+            # are forced when no lane is still solving (otherwise: deadlock).
+            n_pending = jnp.sum(solve_done.astype(jnp.int32))
+            still_solving = jnp.any(active & ~solve_done
+                                    & (ls.k < scfg.max_iters))
+            commit_now = (n_pending >= cohort) | (
+                (n_pending > 0) & ~still_solving)
+            c2 = jax.lax.cond(commit_now, commit_phase, skip_phase, c, ls)
             return c2._replace(i=c.i + 1)
 
         out = jax.lax.while_loop(cond, body, carry0)
         return out.states, StreamOut(success=out.succ.T, viol=out.viol.T,
                                      iters=out.iters.T, phi=out.phi.T,
+                                     dphi=out.dphi.T, error_count=out.errc.T,
                                      dead=out.dead.T, n_loop=out.i)
 
     def stream_prec(states, paths, weights, x_phi_d, pref):
@@ -191,7 +225,8 @@ def make_stream_fn(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
 
 
 def make_stream_ticks(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
-                      n_ticks: int, dtype=jnp.float32, donate: bool = True):
+                      n_ticks: int, dtype=jnp.float32, donate: bool = True,
+                      cohort: int | None = None):
     """Jitted single-mesh stream executor (see `make_stream_fn`)."""
-    fn = make_stream_fn(cfg, scfg, n_ticks, dtype=dtype)
+    fn = make_stream_fn(cfg, scfg, n_ticks, dtype=dtype, cohort=cohort)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -98,20 +98,30 @@ def main():
         if args.executor == "stream":
             # Async executor under shard_map: each device advances its local
             # lanes through their own ticks in an independent fused loop;
-            # only the end-of-chunk metric reduction crosses ICI.
+            # only the end-of-chunk metric reduction crosses ICI.  The
+            # remainder ticks run through a separate (separately cached)
+            # smaller stream call so exactly --ticks ticks execute.
             chunk = 10
-            n_chunks = (args.ticks + chunk - 1) // chunk
+            plan = [chunk] * (args.ticks // chunk)
+            if args.ticks % chunk:
+                plan.append(args.ticks % chunk)
             succ_sum = succ_n = 0
             metrics = {}
-            for ci in range(n_chunks):
+            for n_t in plan:
                 t0 = time.perf_counter()
                 states, sout, metrics = eng.stream(
-                    states, paths, weights, x_phi_d, pref, n_ticks=chunk)
+                    states, paths, weights, x_phi_d, pref, n_ticks=n_t)
                 jax.block_until_ready(states.phi)
                 times.append(time.perf_counter() - t0)
+                # success_rate over LIVE lane-ticks (FleetStats contract):
+                # n_success is live-masked in-graph; n_live is the matching
+                # denominator.
                 succ_sum += int(metrics["n_success"])
-                succ_n += chunk * args.batch
-            med = float(np.median(times[1:] or times)) / chunk
+                succ_n += int(metrics["n_live"])
+            # Median per-tick time over FULL chunks only (the remainder
+            # chunk has different per-call overhead amortization).
+            full = times[:args.ticks // chunk]
+            med = float(np.median(full[1:] or full or times)) / chunk
             success_rate = succ_sum / max(succ_n, 1)
         else:
             metrics = {}

@@ -93,7 +93,11 @@ def test_sharded_stream_matches_unsharded():
                                rtol=1e-4, atol=1e-5)
     # ICI-reduced aggregates agree with host-side reduction of the series.
     assert int(metrics["n_success"]) == int(np.asarray(out1.success).sum())
-    # Sum of per-device trip counts >= the single-mesh loop's trip count
-    # (the global loop runs to the slowest lane; per-device loops stop at
-    # their own slowest lane).
-    assert int(metrics["n_loop"]) >= int(out1.n_loop) // 8
+    # n_loop is the psum of per-device trip counts.  Lower bound: one device
+    # owns the globally slowest lane and needs at least as many trips for it
+    # as the single-mesh loop did (per-lane iteration counts are placement-
+    # invariant), so the sum is >= the single-mesh trip count.  Upper bound:
+    # no device can need more trips than the single-mesh loop (its local
+    # lane set is a subset), so the sum is <= 8x.  This catches a broken
+    # reduction (e.g. pmean) — out1.n_loop // 8 was nearly vacuous.
+    assert int(out1.n_loop) <= int(metrics["n_loop"]) <= 8 * int(out1.n_loop)

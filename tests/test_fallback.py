@@ -128,9 +128,10 @@ def test_acceptable_failure_executes_fresh_plan():
 
 def test_deep_failure_cold_restart_recovers():
     """Two consecutive failures trigger the cold-restart tier: the poisoned
-    warm chain is replaced by the neutral rest seed and the solve walks the
-    full mu continuation — the lane recovers instead of death-spiraling
-    (the bench-r4 postmortem mechanism; engine.presolve `deep` tier)."""
+    warm chain is discarded and the solver re-seeds from u_safe (the last
+    GATED plan) under the mu_shift shock continuation — the lane recovers
+    instead of death-spiraling (the bench-r4 postmortem mechanism;
+    engine.presolve `deep` tier)."""
     sc = experiment1()
     cfg = ocp.OcpConfig()
     path = sc.build(dtype=np.float64)

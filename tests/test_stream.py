@@ -71,6 +71,39 @@ def test_stream_matches_scanned_f32_behavioral():
             rtol=0, atol=2e-2, err_msg=f"EngineState.{fld} diverged")
 
 
+def test_stream_cohort_invariance():
+    """Cohort commits (batching the whole-batch-cost commit phase until
+    >= cohort lanes are pending — the B>=1024 scaling fix) must not change
+    any lane's numerics: a pending lane just waits, masked out of GN
+    stepping, and its commit applies the exact same (done) LoopState.
+    Strict f64 equality between cohort=1 (commit-on-any-done, the r4
+    behavior) and cohort=B."""
+    K, B = 6, 4
+    f = _fleet(B, dtype=jnp.float64)
+    copy = lambda tree: jax.tree.map(lambda a: jnp.array(a), tree)
+    outs = []
+    for cohort in (1, B):
+        fn = stream.make_stream_ticks(f.cfg, f.scfg, K, dtype=jnp.float64,
+                                      cohort=cohort)
+        st, so = fn(copy(f.states), f.paths, f.weights, f.x_phi_d, f._pref)
+        outs.append((st, so))
+    (st1, so1), (stB, soB) = outs
+    np.testing.assert_array_equal(np.asarray(so1.success),
+                                  np.asarray(soB.success))
+    np.testing.assert_array_equal(np.asarray(so1.iters),
+                                  np.asarray(soB.iters))
+    np.testing.assert_allclose(np.asarray(so1.viol), np.asarray(soB.viol),
+                               rtol=0, atol=1e-9)
+    for name, a, b in zip(st1._fields, jax.tree.leaves(st1),
+                          jax.tree.leaves(stB)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=0, atol=1e-8, err_msg=f"EngineState.{name} diverged")
+    # Deferred commits strictly reduce commit-phase invocations, never the
+    # recorded per-lane work.
+    assert int(soB.n_loop) >= int(np.asarray(soB.iters).sum(axis=0).max())
+
+
 def test_stream_progress_and_success():
     """Longer run: the fused loop must keep making path progress and stay
     successful through segment crossings (window slides) for every lane."""
