@@ -139,7 +139,12 @@ def main():
     enable_compilation_cache()
     cfg = ocp.OcpConfig()
     scfg = solver_mod.RUNTIME_F32
+    # First device access can block MINUTES waiting for the remote chip
+    # allocator (measured: 35s-15min, uncorrelated with our work) — log it
+    # explicitly so a driver timeout leaves a self-explaining tail.
+    _log("acquiring TPU device (remote allocation; can take minutes)")
     platform = jax.devices()[0].platform
+    _log(f"device acquired: {jax.devices()[0].device_kind}")
     on_tpu = platform != "cpu"
     B = 256 if on_tpu else 8
     K = 20 if on_tpu else 4  # ticks per fused stream call

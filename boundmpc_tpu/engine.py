@@ -69,6 +69,11 @@ class EngineState(NamedTuple):
     # the trust-region radius is as much a part of the warm start as the
     # iterate itself.
     reg_warm: jnp.ndarray  # ()
+    # Previous tick's total violation (recovery-progress detector for the
+    # failure ladder; see postsolve).  NOTE: keep this the LAST field —
+    # state dumps are stored as ordered leaves and old dumps are re-loaded
+    # by padding missing trailing leaves (load_state_dump).
+    viol_prev: jnp.ndarray  # ()
 
 
 class TickOut(NamedTuple):
@@ -79,6 +84,20 @@ class TickOut(NamedTuple):
     stats: solver_mod.SolveStats
     params: ocp.OcpParams  # assembled tick parameters (for logging/replay)
     u: jnp.ndarray  # (N, 8) executed plan
+
+
+def load_state_dump(template: EngineState, npz) -> EngineState:
+    """Rebuild an EngineState batch from a ``{"s0": leaf0, ...}`` state dump
+    (fleet checkpoints, soak/debug dumps).  Dumps from before a trailing
+    field was added are padded with the template's value for that field —
+    EngineState grows by appending fields precisely so old dumps stay
+    loadable."""
+    tpl_leaves = jax.tree.leaves(template)
+    n_files = len([k for k in npz.files if k.startswith("s")])
+    leaves = [jnp.asarray(npz[f"s{i}"]) for i in range(n_files)]
+    if len(leaves) < len(tpl_leaves):
+        leaves = leaves + [jnp.asarray(t) for t in tpl_leaves[len(leaves):]]
+    return jax.tree.unflatten(jax.tree.structure(template), leaves)
 
 
 def init_state(cfg: ocp.OcpConfig, q0: jnp.ndarray, dtype=jnp.float32) -> EngineState:
@@ -103,6 +122,7 @@ def init_state(cfg: ocp.OcpConfig, q0: jnp.ndarray, dtype=jnp.float32) -> Engine
         error_count=jnp.zeros((), jnp.int32),
         dead=jnp.asarray(False),
         reg_warm=jnp.asarray(0.0, dtype),  # 0 = "no carried damping"
+        viol_prev=jnp.asarray(0.0, dtype),
     )
 
 
@@ -172,6 +192,7 @@ def replan_state(cfg: ocp.OcpConfig, state: EngineState, new_path: PathData
         has_prev=jnp.asarray(False),
         error_count=jnp.zeros_like(state.error_count),
         reg_warm=jnp.zeros_like(state.reg_warm),
+        viol_prev=jnp.zeros_like(state.viol_prev),
     )
 
 
@@ -275,10 +296,13 @@ def tick(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
                           x_phi_d, solve_fn, pref)
 
 
-def presolve(cfg, scfg, state, path, weights, x_phi_d):
+def presolve(cfg, scfg, state, path, weights, x_phi_d, coeffs=None,
+             limits=None):
     """Tick front half: window slide, parameter assembly, tiered warm-start
     policy.  Returns (state', params, mu0, reg0) — everything the solver
-    needs.  Shared verbatim by `tick` and the stream executor (stream.py)."""
+    needs.  Shared verbatim by `tick` and the stream executor (stream.py).
+    ``coeffs``/``limits`` enable the warm-start infeasibility probe below
+    (None falls back to flag-based shock detection only)."""
     # Window slide on segment crossing (ReferencePath.update :190-212,
     # called from get_parameters at the start of BoundMPC.step :310)
     sector = advance_sector(path, state.sector, state.phi)
@@ -303,6 +327,23 @@ def presolve(cfg, scfg, state, path, weights, x_phi_d):
     #     boundary-hugging iterate into the interior, the linearization
     #     breaks, and one marginal failure becomes a death spiral).
     shock = crossed_window | (state.error_count > 0)
+    # Warm-start infeasibility probe (one rollout, ~1 GN iteration of
+    # cost): the shock flags above miss the MID-SEGMENT re-linearization
+    # jump (new projection vectors / rotation re-anchoring read the same
+    # physical state a few mrad differently, r5 soak forensics) — the lane
+    # then resumes at mu_warm = mu_min with a solver-infeasible warm plan
+    # and walks straight into the barrier's local-minimum trap.  Measured
+    # on the lane-150 fixture: the identical f32 solve recovers under the
+    # mu_shift continuation and traps under mu_warm.  This is the batched
+    # analog of Ipopt's adaptive mu oracle raising mu with infeasibility
+    # (reference options BoundMPC.py:120-148, mu_oracle: loqo).
+    if scfg.warm_probe and coeffs is not None and limits is not None:
+        ev_w = ocp.evaluate_stages(cfg, coeffs, params, state.u_warm)
+        c_w = ocp.full_constraints(cfg, params, ev_w, state.u_warm, limits,
+                                   scaled=scfg.scale_constraints,
+                                   margin=scfg.margin)
+        warm_viol = jnp.sum(jnp.where(c_w > 1e-6, c_w, 0.0))
+        shock = shock | (warm_viol > 1e-3)
     # Deep-failure COLD RESTART (the bench-postmortem death-spiral fix): two
     # consecutive failures mean the warm CHAIN is poisoned — the fresh
     # solves diverged, so every further mu_shift restart re-solves from
@@ -349,21 +390,25 @@ def presolve(cfg, scfg, state, path, weights, x_phi_d):
 def _tick_impl(cfg, scfg, coeffs, limits, state, path, weights, x_phi_d,
                solve_fn, pref):
     state, params, mu0, reg0 = presolve(cfg, scfg, state, path, weights,
-                                        x_phi_d)
+                                        x_phi_d, coeffs=coeffs,
+                                        limits=limits)
     if solve_fn is None:
         u_opt, stats = solver_mod.solve(cfg, scfg, coeffs, params,
                                         state.u_warm, limits, mu0=mu0,
                                         pref=pref, reg0=reg0)
     else:
         u_opt, stats = solve_fn(params, state.u_warm)
-    return postsolve(cfg, scfg, coeffs, state, path, params, u_opt, stats)
+    return postsolve(cfg, scfg, coeffs, state, path, params, u_opt, stats,
+                     limits=limits)
 
 
-def postsolve(cfg, scfg, coeffs, state, path, params, u_opt, stats):
+def postsolve(cfg, scfg, coeffs, state, path, params, u_opt, stats,
+              limits=None):
     """Tick back half: success gate, fallback selection, plant/controller
     state advance, dead-lane freeze.  ``state`` is the presolve'd state
     (sector already advanced).  Shared verbatim by `tick` and the stream
-    executor (stream.py)."""
+    executor (stream.py).  ``limits`` enables the fresh-vs-stale violation
+    comparison below (None falls back to the threshold-only gate)."""
     # Two-clause success criterion, mirroring the reference's
     # "Ipopt-success OR total violation < 1e-4" (BoundMPC.py:460-465).
     # The solver's `converged` flag alone is only a small-step test and must
@@ -380,10 +425,38 @@ def postsolve(cfg, scfg, coeffs, state, path, params, u_opt, stats):
     # Ipopt acceptable-level analog; see SolverConfig.viol_exec for why
     # replaying stale plans on marginal misses is a death spiral.  They
     # still count as failures (error_count) and never enter u_safe.
+    #
+    # Beyond the fixed threshold, the fresh plan also executes whenever it
+    # violates LESS than the safe fallback evaluated under TODAY's
+    # parameters (one extra rollout — ~1 GN iteration of cost).  The
+    # reference replays the stale plan blindly because Ipopt's failed
+    # iterate may be garbage; our failed iterate is the restoration phase's
+    # LEAST-VIOLATING point (SolverConfig.rho_restore), so when the shifted
+    # stale plan is measurably worse, replaying it is strictly harmful —
+    # that exact choice fed the r5 deep-region spirals (fresh viol 3.1e-2
+    # just missing the 3e-2 gate while the stale plan sat at viol >> 1).
     acceptable = stats.viol < scfg.viol_exec
+    if scfg.exec_compare and limits is not None:
+        ev_safe = ocp.evaluate_stages(cfg, coeffs, params, state.u_safe)
+        c_safe = ocp.full_constraints(cfg, params, ev_safe, state.u_safe,
+                                      limits)
+        viol_safe = jnp.sum(jnp.where(c_safe > 1e-6, c_safe, 0.0))
+        acceptable = acceptable | (stats.viol <= viol_safe)
     use_opt = success | (~state.has_prev) | acceptable
     u_used = jnp.where(use_opt, u_opt, state.u_safe)
-    error_count = jnp.where(success, 0, state.error_count + 1)
+    # Failure ladder with a RECOVERY-PROGRESS hold: the counter increments
+    # on failing ticks UNLESS the violation dropped substantially (< 1/2 of
+    # the previous tick's) — a lane in active damage-control (restoration
+    # plans crash the violation over ~5-10 ticks, r5 fixture traces) must
+    # not be killed mid-recovery.  Diverging or plateaued lanes still die
+    # after N non-improving failures, which is what the dead-freeze is FOR
+    # (the reference's N-consecutive-failures stop, BoundMPC.py:498-506,
+    # guards a single robot; the vectorized analog guards fleet metrics
+    # from divergence, not from recovery).
+    improving = stats.viol < 0.5 * state.viol_prev
+    error_count = jnp.where(
+        success, 0,
+        jnp.where(improving, state.error_count, state.error_count + 1))
     error_count = jnp.where(success | state.has_prev, error_count, 0)
     dead = state.dead | (error_count >= cfg.N)
 
@@ -436,6 +509,7 @@ def postsolve(cfg, scfg, coeffs, state, path, params, u_opt, stats):
         dead=dead,
         reg_warm=(stats.reg_final if stats.reg_final is not None
                   else jnp.zeros_like(state.reg_warm)),
+        viol_prev=stats.viol.astype(state.viol_prev.dtype),
     )
     # A dead scenario is STOPPED: the reference returns Nones after N
     # consecutive failures and the node halts the robot

@@ -53,7 +53,7 @@ class StageJacPieces(NamedTuple):
 
 
 def _stage_nonlinear(cfg: ocp.OcpConfig, params: ocp.OcpParams, q, dq, phi,
-                     dphi, ddphi, iw, v_prev, scaled=False):
+                     dphi, ddphi, iw, v_prev, scaled=False, margin=0.0):
     """All FK-dependent per-stage outputs: (r_nl (18), c_nl (5), v (6)).
 
     Mirrors ocp.residuals / ocp.nonlin_constraints for a single stage."""
@@ -78,9 +78,12 @@ def _stage_nonlinear(cfg: ocp.OcpConfig, params: ocp.OcpParams, q, dq, phi,
         sw[5] * (a - a_ref),
     ])  # (18,)
 
-    # Nonlinear constraints (ocp.nonlin_constraints, single stage)
+    # Nonlinear constraints (ocp.nonlin_constraints, single stage; margin =
+    # solver-view tightening of the ORIENTATION bounds only — see that
+    # docstring for why position rows stay unmargined)
+    msq = (1.0 - margin) ** 2
     e_r_proj = jnp.dot(ref.dp_normed_d, err.e_r_par)
-    c_tang = e_r_proj**2 - ref.r_par_bound**2  # scaled below
+    c_tang = e_r_proj**2 - msq * ref.r_par_bound**2  # scaled below
     e1 = jnp.dot(err.e_p, ref.bp1) - ref.e_p_off[0]
     e2 = jnp.dot(err.e_p, ref.bp2) - ref.e_p_off[1]
     pb = 0.5 * (ref.bound_upper[:2] - ref.bound_lower[:2])
@@ -94,8 +97,8 @@ def _stage_nonlinear(cfg: ocp.OcpConfig, params: ocp.OcpParams, q, dq, phi,
         norm(c_tang, ref.r_par_bound**2),
         norm(e1**2 - pb[0] ** 2, pb[0] ** 2),
         norm(e2**2 - pb[1] ** 2, pb[1] ** 2),
-        norm(r1**2 - rb[0] ** 2, rb[0] ** 2),
-        norm(r2**2 - rb[1] ** 2, rb[1] ** 2),
+        norm(r1**2 - msq * rb[0] ** 2, rb[0] ** 2),
+        norm(r2**2 - msq * rb[1] ** 2, rb[1] ** 2),
     ])  # (5,)
 
     return jnp.concatenate([r_nl, c_nl, v])  # (29,)
@@ -103,11 +106,13 @@ def _stage_nonlinear(cfg: ocp.OcpConfig, params: ocp.OcpParams, q, dq, phi,
 
 def stage_jacobians(cfg: ocp.OcpConfig, params: ocp.OcpParams,
                     traj: ocp.Trajectory, v_prev_all: jnp.ndarray,
-                    scaled: bool = False) -> StageJacPieces:
+                    scaled: bool = False,
+                    margin: float = 0.0) -> StageJacPieces:
     """vmapped per-stage jacfwd: 26 tangents through ONE FK chain each."""
 
     def jac_one(q, dq, phi, dphi, ddphi, iw, v_prev):
-        f = lambda *a: _stage_nonlinear(cfg, params, *a, scaled=scaled)
+        f = lambda *a: _stage_nonlinear(cfg, params, *a, scaled=scaled,
+                                        margin=margin)
         jacs = jax.jacfwd(f, argnums=(0, 1, 2, 3, 4, 5, 6))(
             q, dq, phi, dphi, ddphi, iw, v_prev
         )
@@ -356,16 +361,19 @@ def linear_offsets(cfg: ocp.OcpConfig, coeffs: jerkint.JerkCoeffs,
 
 def reduced_jacobians(cfg: ocp.OcpConfig, coeffs: jerkint.JerkCoeffs,
                       lmaps: LinearJacs, params: ocp.OcpParams,
-                      u: jnp.ndarray, limits, scaled: bool = False):
+                      u: jnp.ndarray, limits, scaled: bool = False,
+                      margin: float = 0.0):
     """(r, c, Jr_dyn (18N, n), Jc_nl (5N, n)) — values for everything, but
     jacobians ONLY for the state-dependent (FK-coupled) rows.  The linear
     residual rows are covered by the QR prefactor (solver method "qr") and
     the box-constraint rows by the trace-time constants above."""
     ev = ocp.evaluate_stages(cfg, coeffs, params, u)
     r = ocp.residuals(cfg, params, ev, u)
-    c = ocp.full_constraints(cfg, params, ev, u, limits, scaled=scaled)
+    c = ocp.full_constraints(cfg, params, ev, u, limits, scaled=scaled,
+                             margin=margin)
     v_prev_all = jnp.concatenate([params.v0[None], ev.traj.v[:-1]], axis=0)
-    pieces = stage_jacobians(cfg, params, ev.traj, v_prev_all, scaled=scaled)
+    pieces = stage_jacobians(cfg, params, ev.traj, v_prev_all, scaled=scaled,
+                             margin=margin)
     Dout = chain_nonlinear(cfg, lmaps, pieces, u.dtype)
     n = cfg.N * 8
     Jr_dyn = Dout[:, :18].reshape(cfg.N * 18, n)
@@ -378,12 +386,15 @@ def residuals_constraints_and_jacobians(cfg: ocp.OcpConfig,
                                         lmaps: LinearJacs,
                                         params: ocp.OcpParams,
                                         u: jnp.ndarray, limits,
-                                        scaled: bool = False):
+                                        scaled: bool = False,
+                                        margin: float = 0.0):
     """(r, c, Jr, Jc) with structured assembly — the solver's fast path."""
     ev = ocp.evaluate_stages(cfg, coeffs, params, u)
     r = ocp.residuals(cfg, params, ev, u)
-    c = ocp.full_constraints(cfg, params, ev, u, limits, scaled=scaled)
+    c = ocp.full_constraints(cfg, params, ev, u, limits, scaled=scaled,
+                             margin=margin)
     v_prev_all = jnp.concatenate([params.v0[None], ev.traj.v[:-1]], axis=0)
-    pieces = stage_jacobians(cfg, params, ev.traj, v_prev_all, scaled=scaled)
+    pieces = stage_jacobians(cfg, params, ev.traj, v_prev_all, scaled=scaled,
+                             margin=margin)
     Jr, Jc = assemble_jacobians(cfg, lmaps, params, ev.traj, pieces, u)
     return r, c, Jr, Jc

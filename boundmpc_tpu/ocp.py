@@ -400,7 +400,8 @@ def objective(cfg: OcpConfig, params: OcpParams, ev: StageEval,
 
 
 def nonlin_constraints(cfg: OcpConfig, params: OcpParams, ev: StageEval,
-                       scaled: bool = False) -> jnp.ndarray:
+                       scaled: bool = False,
+                       margin: float = 0.0) -> jnp.ndarray:
     """The 5 per-stage nonlinear bound constraints c <= 0, shape (N, 5):
     [tangential rot, pos-orth1, pos-orth2, rot-orth1, rot-orth2]
     (casadi_ocp_formulation.py:316-349).
@@ -411,8 +412,26 @@ def nonlin_constraints(cfg: OcpConfig, params: OcpParams, ev: StageEval,
     float32 barrier conditioning).  Scaling by a positive factor leaves the
     constraint set — and hence the NLP's KKT points — unchanged; reported
     violations always use the unscaled reference units.
+
+    ``margin`` (solver-view constraint TIGHTENING, SolverConfig.margin)
+    shrinks the three ORIENTATION bounds (tangential, rot-orth1, rot-orth2)
+    to (1-margin)*b inside the solve only: executed plans then keep
+    clearance that absorbs the per-tick RE-LINEARIZATION jump of the
+    orientation error (new projection vectors / rotation re-anchoring read
+    the same physical state up to ~10 mrad differently), which otherwise
+    parks lanes exactly ON the bound and makes the next tick's NLP
+    hard-infeasible at stage 0 — the measured deep-region death mechanism
+    (bound-riding at the quartic dip, r5 soak forensics).  The POSITION
+    bounds are NOT margined: e_p is exact (pure FK, no linearization), so
+    there is no jump to absorb, and tightening the 1 cm corridor dips was
+    measured to CREATE early-region failures (test_runtime_f32 lane 3).
+    Success is always judged against the TRUE margin-free bounds
+    (`finish`, full_constraints with margin=0), mirroring the reference's
+    criterion (BoundMPC.py:465).  The scale denominator stays the true
+    bound^2.
     """
     ref, err = ev.ref, ev.err
+    msq = (1.0 - margin) ** 2
 
     def norm(csq, bound_sq):
         if not scaled:
@@ -420,7 +439,8 @@ def nonlin_constraints(cfg: OcpConfig, params: OcpParams, ev: StageEval,
         return csq / jnp.maximum(bound_sq, 1e-2)
 
     e_r_proj = jnp.einsum("ki,ki->k", ref.dp_normed_d, err.e_r_par)
-    c_tang = norm(e_r_proj**2 - ref.r_par_bound**2, ref.r_par_bound**2)
+    c_tang = norm(e_r_proj**2 - msq * ref.r_par_bound**2,
+                  ref.r_par_bound**2)
 
     # Position: squared-slack form (decomp_function, bound_mpc_functions.py:298-310)
     e1 = jnp.einsum("ki,ki->k", err.e_p, ref.bp1) - ref.e_p_off[:, 0]
@@ -432,8 +452,8 @@ def nonlin_constraints(cfg: OcpConfig, params: OcpParams, ev: StageEval,
     r1 = jnp.einsum("ki,ki->k", ref.br1, err.e_r_orth1) - ref.e_r_off[:, 0]
     r2 = jnp.einsum("ki,ki->k", ref.br2, err.e_r_orth2) - ref.e_r_off[:, 1]
     rb = 0.5 * (ref.bound_upper[:, 2:] - ref.bound_lower[:, 2:])
-    c_r1 = norm(r1**2 - rb[:, 0] ** 2, rb[:, 0] ** 2)
-    c_r2 = norm(r2**2 - rb[:, 1] ** 2, rb[:, 1] ** 2)
+    c_r1 = norm(r1**2 - msq * rb[:, 0] ** 2, rb[:, 0] ** 2)
+    c_r2 = norm(r2**2 - msq * rb[:, 1] ** 2, rb[:, 1] ** 2)
 
     return jnp.stack([c_tang, c_p1, c_p2, c_r1, c_r2], axis=-1)
 
@@ -460,9 +480,10 @@ def linear_constraints(cfg: OcpConfig, params: OcpParams, ev: StageEval,
 
 def full_constraints(cfg: OcpConfig, params: OcpParams, ev: StageEval,
                      u: jnp.ndarray, limits: kinematics.RobotLimits,
-                     scaled: bool = False) -> jnp.ndarray:
+                     scaled: bool = False, margin: float = 0.0) -> jnp.ndarray:
     return jnp.concatenate(
-        [nonlin_constraints(cfg, params, ev, scaled=scaled).ravel(),
+        [nonlin_constraints(cfg, params, ev, scaled=scaled,
+                            margin=margin).ravel(),
          linear_constraints(cfg, params, ev, u, limits)]
     )
 
@@ -511,8 +532,8 @@ def residuals(cfg: OcpConfig, params: OcpParams, ev: StageEval,
 def residuals_and_constraints(cfg: OcpConfig, coeffs: jerkint.JerkCoeffs,
                               params: OcpParams, u: jnp.ndarray,
                               limits: kinematics.RobotLimits,
-                              scaled: bool = False):
+                              scaled: bool = False, margin: float = 0.0):
     """(r, c) in one rollout — what the GN solver differentiates."""
     ev = evaluate_stages(cfg, coeffs, params, u)
     return residuals(cfg, params, ev, u), full_constraints(
-        cfg, params, ev, u, limits, scaled=scaled)
+        cfg, params, ev, u, limits, scaled=scaled, margin=margin)

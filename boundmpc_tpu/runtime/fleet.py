@@ -249,12 +249,8 @@ class FleetRunner:
         np.savez_compressed(path, **flat)
 
     def load_checkpoint(self, path: str):
-        data = np.load(path)
-        leaves = [jnp.asarray(data[f"s{i}"])
-                  for i in range(len(data.files))]
-        self.states = jax.tree.unflatten(
-            jax.tree.structure(self.states), leaves
-        )
+        from .. import engine as engine_mod
+        self.states = engine_mod.load_state_dump(self.states, np.load(path))
 
     def close(self):
         if self._sink is not None:

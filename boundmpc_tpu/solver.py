@@ -144,23 +144,83 @@ class SolverConfig(NamedTuple):
     # default: the amplified rows strengthen the barrier's interior bias,
     # which costs a few 1e-3 of objective parity vs the exact NLP optimum.
     scale_constraints: bool = False
+    # Solver-view constraint TIGHTENING of the ORIENTATION bounds
+    # (tangential + rot-orth; position rows stay exact — see
+    # ocp.nonlin_constraints): the solve sees bound*(1-margin) while success
+    # is judged against the true bounds.  The deep-region death mechanism
+    # (r5 soak forensics, lane 129 t102): plans ride the orientation bound
+    # with zero clearance, the next tick's RE-LINEARIZATION (new projection
+    # vectors / rotation re-anchoring) reads the same state ~2-10 mrad over
+    # the bound at the quartic dip, stage 0 becomes hard-infeasible (no
+    # control authority at x0), and the GN traps at viol ~2e-2 in ANY
+    # precision (an Ipopt would need its restoration phase here).  A 5%
+    # margin (13 mrad clearance at the 15-degree dip) absorbs the jump so
+    # the infeasible episode never starts.  0 = parity-exact (default).
+    margin: float = 0.0
+    # FEASIBILITY-RESTORATION MODE — the batched analog of Ipopt's
+    # restoration phase (the reference capability the plain barrier GN
+    # lacked; Ipopt options BoundMPC.py:120-148).  Mechanism of the trap it
+    # breaks (measured iterate-by-iterate, experiments/trace_solve.py, lane
+    # 129 t102): from a shock-infeasible warm start the merit
+    # sum(r^2) + mu*sum(beta) develops a LOCAL MINIMUM at viol ~2e-2 —
+    # reducing violation further costs more objective than the barrier
+    # saves — and the solve plateaus there for the whole budget in ANY
+    # precision.  When the iteration stagnates while infeasible
+    # (restore_patience consecutive stagnant-infeasible iterations at final
+    # mu), the lane's residual rows are RE-WEIGHTED by rho_restore << 1 in
+    # the same QR stack and line-search merit: the step direction becomes
+    # (almost) pure violation minimization, immune to the trap.  Once
+    # feasible, rho snaps back to 1 and barrier optimization resumes with
+    # the remaining budget.  A lane whose restoration itself stagnates
+    # (genuinely infeasible stage 0) exits early with its least-violating
+    # iterate instead of burning the full budget.  rho_restore = 0 disables
+    # (parity default: the f64 oracle-parity path keeps single-phase
+    # semantics).
+    rho_restore: float = 0.0
+    restore_patience: int = 8
+    # Restoration engages only for DEEP infeasibility (scaled viol above
+    # this), not for margin-buffer erosion: a lane riding the margined
+    # orientation bound flickers margined-infeasible at sviol ~1e-4..1e-3
+    # while being perfectly fine on the true bounds, and interrupting its
+    # objective optimization with a restoration detour measurably DEGRADED
+    # the executed plan (experiment1 tick-13 canary, true viol 9.7e-3).
+    # The measured barrier traps sit at sviol ~3e-2.
+    restore_trigger_viol: float = 1e-2
+    # Warm-start infeasibility probe (engine.presolve): evaluate the warm
+    # plan's constraints under the NEW tick's parameters and give
+    # solver-infeasible warm starts the mu_shift shock continuation even
+    # when no window slide / failure flag fired (the mid-segment
+    # re-linearization jump case).  See the presolve comment.
+    warm_probe: bool = False
+    # Fresh-vs-stale execution comparison (engine.postsolve): a failing
+    # solve's plan executes when it violates no more than the safe fallback
+    # evaluated under today's parameters.  See the postsolve comment.
+    exec_compare: bool = False
 
 
 # Preset for the float32 TPU runtime path.  method="qr" is the only step
 # method measured convergent on-chip in closed loop (experiments/debug_f32.py:
 # B=16 and B=256, success 1.0, viol <= 1e-4); scale_constraints homogenizes
 # the squared bound rows so the f32 barrier stays conditioned in corridor
-# scenarios.  max_iters=40 matches the reference Ipopt iteration scale
-# (Plotter.py:442 caps its plot at 40): at 16, ~12% of randomized scenarios
-# could not re-converge through path-geometry events and died; at 40 the
-# same fleet runs clean (measured, experiments/debug_f32.py --subset).  The
-# while_loop exits early once every scenario in the batch converges.
+# scenarios.  max_iters=128: the reference Ipopt iteration scale is ~40
+# (Plotter.py:442), and 40 was the r2-r4 budget — but deep-region shock
+# ticks need 46-120 iterations (r4 diagnosis, confirmed by the r5 soaks:
+# every failure streak starts with iters pinned at the cap), and under the
+# stream executor extra iterations cost only the straggler lane's own time.
+# The while_loop exits early once every scenario in the batch converges
+# (mean warm tick: ~3-9 iterations).
 # jac="ad" (one fused 80-tangent jacfwd) and the shorter 8-candidate line
 # search each save ~3 ms/iteration at B=256 on-chip with no success change
 # (the LM damping pre-scales steps, so deep backtracking is rarely needed).
-RUNTIME_F32 = SolverConfig(max_iters=40, delta=1e-7, reg=1e-6, tol_step=1e-5,
+# margin=0.05 tightens the solver-view nonlinear bounds 5% so executed
+# plans keep clearance absorbing the per-tick re-linearization jump — the
+# measured deep-region death mechanism (see SolverConfig.margin).
+RUNTIME_F32 = SolverConfig(max_iters=128, delta=1e-7, reg=1e-6,
+                           tol_step=1e-5,
                            scale_constraints=True, method="qr", jac="ad",
-                           n_ls=8, stall_iters=2,
+                           n_ls=8, stall_iters=2, margin=0.05,
+                           rho_restore=1e-3, warm_probe=True,
+                           exec_compare=True,
                            # Warm ticks resume AT the final barrier weight:
                            # the previous optimum already sits on the mu_min
                            # central path, so walking 1e-4 -> 1e-6 again
@@ -194,6 +254,12 @@ class LoopState(NamedTuple):
     last_step: jnp.ndarray  # () max |du| of last accepted step
     stall: jnp.ndarray  # () int32 consecutive stagnant iterations
     rej: jnp.ndarray  # () int32 consecutive full line-search rejections
+    rho: jnp.ndarray  # () residual-row weight: 1 = barrier mode,
+    #                      rho_restore = feasibility-restoration mode
+    fstall: jnp.ndarray  # () int32 consecutive infeasible-at-final-mu
+    #                        iterations (restoration-mode trigger counter)
+    sviol: jnp.ndarray  # () scaled total violation of the current iterate
+    #                       (restoration progress measure)
 
 
 _LoopState = LoopState  # internal alias (historical name)
@@ -294,6 +360,9 @@ def init_loop(scfg: SolverConfig, u0: jnp.ndarray, mu0=None, reg0=None
         last_step=jnp.asarray(jnp.inf, dtype),
         stall=jnp.asarray(0, jnp.int32),
         rej=jnp.asarray(0, jnp.int32),
+        rho=jnp.asarray(1.0, dtype),
+        fstall=jnp.asarray(0, jnp.int32),
+        sviol=jnp.asarray(jnp.inf, dtype),
     )
 
 
@@ -317,12 +386,12 @@ def make_stepper(cfg: ocp.OcpConfig, scfg: SolverConfig,
     def rc(u_flat, params):
         return ocp.residuals_and_constraints(
             cfg, coeffs, params, u_flat.reshape(N, nu), limits,
-            scaled=scfg.scale_constraints,
+            scaled=scfg.scale_constraints, margin=scfg.margin,
         )
 
-    def merit(u_flat, mu, params):
+    def merit(u_flat, mu, rho, params):
         r, c = rc(u_flat, params)
-        return jnp.sum(r * r) + mu * jnp.sum(_barrier(-c, scfg.delta))
+        return rho * jnp.sum(r * r) + mu * jnp.sum(_barrier(-c, scfg.delta))
 
     ls_alphas = scfg.ls_decay ** jnp.arange(scfg.n_ls, dtype=dtype)
 
@@ -333,7 +402,7 @@ def make_stepper(cfg: ocp.OcpConfig, scfg: SolverConfig,
         if scfg.jac == "structured":
             return jmod.residuals_constraints_and_jacobians(
                 cfg, coeffs, lmaps, params, u.reshape(N, nu), limits,
-                scaled=scfg.scale_constraints,
+                scaled=scfg.scale_constraints, margin=scfg.margin,
             )
         r, c = rc(u, params)
         # One forward-mode sweep for both Jacobians: n tangents.
@@ -383,13 +452,13 @@ def make_stepper(cfg: ocp.OcpConfig, scfg: SolverConfig,
         if scfg.jac == "structured":
             return jmod.reduced_jacobians(
                 cfg, coeffs, lmaps, params, u.reshape(N, nu), limits,
-                scaled=scfg.scale_constraints,
+                scaled=scfg.scale_constraints, margin=scfg.margin,
             )
         r, c, Jr, Jc = _jacobians_full(u, params)
         return r, c, Jr[dyn_idx], Jc[s_nl]
 
     def step(st: LoopState, ctx: StepCtx) -> LoopState:
-        u, mu, reg = st.u, st.mu, st.reg
+        u, mu, reg, rho = st.u, st.mu, st.reg, st.rho
         params = ctx.params
 
         # Newton/GN step as a WEIGHTED LEAST SQUARES solve via QR.  The
@@ -409,8 +478,9 @@ def make_stepper(cfg: ocp.OcpConfig, scfg: SolverConfig,
             r_dyn = r[dyn_idx]
             lin_r = ctx.R0 @ u + ctx.d0  # == Q0^T r_lin(u), exact
             # Full gradient from the reduced pieces (identical to
-            # 2 Jr^T r - mu Jc^T d1 with the full stacks):
-            g = 2.0 * (Jr_dyn.T @ r_dyn + ctx.R0.T @ lin_r) - mu * (
+            # 2 rho Jr^T r - mu Jc^T d1 with the full stacks); rho = 1 in
+            # barrier mode, rho_restore in feasibility-restoration mode.
+            g = 2.0 * rho * (Jr_dyn.T @ r_dyn + ctx.R0.T @ lin_r) - mu * (
                 Jc_nl.T @ d1[s_nl]
                 + Jq0.T @ (d1[s_qup] - d1[s_qlo])
                 + Jdq0.T @ (d1[s_dqup] - d1[s_dqlo])
@@ -418,7 +488,7 @@ def make_stepper(cfg: ocp.OcpConfig, scfg: SolverConfig,
                 + Jdphi0.T @ d1[s_dphi]
                 + (d1[s_uup] - d1[s_ulo])
             )
-            sq2 = jnp.sqrt(jnp.asarray(2.0, dtype))
+            sq2 = jnp.sqrt(2.0 * rho)
             sqw_nl = jnp.sqrt(w[s_nl])
             s_q = jnp.sqrt(w[s_qup] + w[s_qlo])
             s_dq = jnp.sqrt(w[s_dqup] + w[s_dqlo])
@@ -453,17 +523,18 @@ def make_stepper(cfg: ocp.OcpConfig, scfg: SolverConfig,
         elif scfg.method == "qr_full":
             r, c, Jr, Jc = _jacobians_full(u, params)
             z = -c
-            g = 2.0 * (Jr.T @ r) - mu * (Jc.T @ _barrier_d1(z, scfg.delta))
+            g = (2.0 * rho * (Jr.T @ r)
+                 - mu * (Jc.T @ _barrier_d1(z, scfg.delta)))
             w = mu * _barrier_d2(z, scfg.delta)
             sqw = jnp.sqrt(w)
-            rho = mu * _barrier_d1(z, scfg.delta) / jnp.maximum(sqw, 1e-30)
-            sq2 = jnp.sqrt(jnp.asarray(2.0, dtype))
+            rhs_c = mu * _barrier_d1(z, scfg.delta) / jnp.maximum(sqw, 1e-30)
+            sq2 = jnp.sqrt(2.0 * rho)
             A = jnp.concatenate(
                 [sq2 * Jr, sqw[:, None] * Jc,
                  jnp.sqrt(reg) * jnp.eye(n, dtype=dtype)], axis=0
             )
             b = jnp.concatenate(
-                [sq2 * r, -rho, jnp.zeros(n, dtype)], axis=0
+                [sq2 * r, -rhs_c, jnp.zeros(n, dtype)], axis=0
             )
             from .ops import tsqr as _tsqr
             du = _tsqr.ls_solve(A, b)
@@ -475,9 +546,10 @@ def make_stepper(cfg: ocp.OcpConfig, scfg: SolverConfig,
 
         # Parallel backtracking Armijo line search: evaluate every candidate
         # at once instead of a sequential loop.
-        m0 = jnp.sum(r * r) + mu * jnp.sum(_barrier(z, scfg.delta))
+        m0 = rho * jnp.sum(r * r) + mu * jnp.sum(_barrier(z, scfg.delta))
         slope = jnp.dot(g, du)
-        cand_m = jax.vmap(lambda a: merit(u + a * du, mu, params))(ls_alphas)
+        cand_m = jax.vmap(
+            lambda a: merit(u + a * du, mu, rho, params))(ls_alphas)
         ok = cand_m <= m0 + scfg.armijo * ls_alphas * slope
         ok = ok & jnp.isfinite(cand_m)
         # First (largest-alpha) acceptable candidate; fall back to the best
@@ -535,26 +607,105 @@ def make_stepper(cfg: ocp.OcpConfig, scfg: SolverConfig,
         done = at_final_mu & (
             (du_inf < scfg.tol_step) | (improved & (step_inf < scfg.tol_step))
         )
-        # Stagnation convergence (see SolverConfig.tol_merit): at final mu,
-        # FEASIBLE, and no meaningful merit decrease for stall_iters
-        # consecutive iterations.  m0 is this iterate's merit; cand_m[idx]
-        # the accepted candidate's.
-        if scfg.stall_iters > 0:
+        restoring = scfg.rho_restore > 0
+        if scfg.stall_iters > 0 or restoring:
             # Same per-row 1e-6 slack as the engine's success metric —
             # without it, ACTIVE constraints sitting exactly on their bound
             # (c ~ +f32 noise, amplified by the 1/bound^2 row scaling) keep
             # `feas` false forever and the lane burns all max_iters while
             # being perfectly feasible in reference units.
-            feas = jnp.sum(jnp.where(c > 1e-6, c, 0.0)) < scfg.tol_feas
+            sviol_now = jnp.sum(jnp.where(c > 1e-6, c, 0.0))
+            feas = sviol_now < scfg.tol_feas
             rel_dec = (m0 - cand_m[idx]) / jnp.maximum(jnp.abs(m0), 1.0)
-            stagnant = at_final_mu & feas & (
-                (~improved) | (rel_dec < scfg.tol_merit))
+            stagnant_any = (~improved) | (rel_dec < scfg.tol_merit)
+        in_restore = (rho < 1.0) if restoring else jnp.asarray(False)
+        if restoring:
+            # An INFEASIBLE small-step exit in barrier mode would hand back
+            # a trapped iterate restoration could still fix — require
+            # feasibility (or restoration mode) for every done path.
+            done = done & (feas | in_restore)
+        # Stagnation convergence: at final mu and for stall_iters
+        # consecutive iterations either (barrier mode, FEASIBLE) no
+        # meaningful merit decrease (SolverConfig.tol_merit) — converged —
+        # or (restoration mode) no meaningful VIOLATION decrease.  Merit is
+        # the wrong stagnation measure in restore mode and violation the
+        # wrong one in barrier mode: the measured trap makes ~1e-4 relative
+        # merit progress per iteration while violation is flat
+        # (trace_solve, lane 129 t102).  A stalled RESTORATION hands the
+        # lane BACK to barrier mode while budget remains (the barrier
+        # routinely polishes the ~1e-2-level leftovers restoration can't —
+        # terminating the whole solve there surrendered a measured
+        # 9.7e-3-viol iterate that 20 more barrier iterations took to
+        # 3e-6); only with the budget nearly gone does it end the solve.
+        hand_back = jnp.asarray(False)
+        if scfg.stall_iters > 0:
+            stagnant = at_final_mu & ~in_restore & feas & stagnant_any
+            if restoring:
+                # Only ACCEPTED steps measure the restoration argmin — a
+                # rejected step says nothing (the trust region is still
+                # adapting); a 6-deep rejection cascade (reg grown ~10
+                # decades under the accelerated climb) is hopeless-wedged
+                # and also exits.
+                stagnant = stagnant | (in_restore & (
+                    (improved & (sviol_now > 0.95 * st.sviol))
+                    | (rej_new >= 6)))
             stall_new = jnp.where(stagnant, st.stall + 1, 0)
-            done = done | (stall_new >= scfg.stall_iters)
+            fire = stall_new >= scfg.stall_iters
+            if restoring:
+                # Depth decides: a restoration stalled BELOW the deep-
+                # trouble trigger hands back (barrier polishes the leftover
+                # and cannot re-trigger restoration, so no cycling); one
+                # stalled ABOVE it has hit a genuinely-infeasible argmin —
+                # return it now instead of letting the barrier walk away
+                # from the least-violating point (measured: the walk-away
+                # re-cycle death-spiraled the lane-129 fixture).
+                budget_left = st.k < scfg.max_iters - 16
+                rest_fire = fire & in_restore
+                shallow = sviol_now <= scfg.restore_trigger_viol
+                hand_back = rest_fire & budget_left & shallow
+                done = done | (fire & ~in_restore) | (rest_fire & ~hand_back)
+            else:
+                done = done | fire
         else:
             stall_new = st.stall
+        # Feasibility-restoration mode transitions (SolverConfig.rho_restore):
+        # enter after restore_patience consecutive DEEPLY-infeasible
+        # NON-IMPROVING iterations at the final barrier weight.  All three
+        # qualifiers are load-bearing: honestly-converging warm lanes
+        # restore feasibility in a couple of iterations (infeasible but
+        # briefly); SLOWLY-converging lanes stay deep for many iterations
+        # but keep cutting viol >5%/iter (the experiment1 tick-13 canary —
+        # interrupting those measurably degraded the plan); a trapped lane
+        # plateaus deep AND flat indefinitely.  Merit-based triggers miss
+        # the plateau entirely (it still "improves" above tol_merit).
+        if restoring:
+            fstall_new = jnp.where(
+                at_final_mu & ~in_restore
+                & (sviol_now > scfg.restore_trigger_viol)
+                & (sviol_now > 0.95 * st.sviol),
+                st.fstall + 1, 0)
+            enter = fstall_new >= scfg.restore_patience
+            exit_ = in_restore & (feas | hand_back)
+            rho_new = jnp.where(enter, jnp.asarray(scfg.rho_restore, dtype),
+                                rho)
+            rho_new = jnp.where(exit_, jnp.asarray(1.0, dtype), rho_new)
+            # Mode flip = new merit landscape: fresh counters.  reg is KEPT:
+            # it encodes the trusted step scale for the same constraint
+            # linearization (the rows that dominate restore mode); resetting
+            # it to the floor caused a rejection cascade that the argmin
+            # detector misread (measured on the lane-129 fixture).
+            flip = enter | exit_
+            rej_new = jnp.where(flip, 0, rej_new)
+            stall_new = jnp.where(flip, 0, stall_new)
+            fstall_new = jnp.where(flip, 0, fstall_new)
+            done = done & ~enter
+        else:
+            fstall_new = st.fstall
+            rho_new = rho
+        sviol_keep = (sviol_now if scfg.stall_iters > 0 or restoring
+                      else st.sviol)
         return LoopState(u_new, mu_new, reg_new, st.k + 1, done, step_inf,
-                         stall_new, rej_new)
+                         stall_new, rej_new, rho_new, fstall_new, sviol_keep)
 
     return step
 

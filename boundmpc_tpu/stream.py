@@ -110,7 +110,8 @@ def make_stream_fn(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
 
     def presolve_lane(state, path, w, x, pref1):
         state, params, mu0, reg0 = engine.presolve(cfg, scfg, state, path,
-                                                   w, x)
+                                                   w, x, coeffs=coeffs,
+                                                   limits=limits)
         ctx = solver_mod.make_ctx(cfg, coeffs, params,
                                   solver_mod.QrPrefactor(*pref1), dtype)
         ls = solver_mod.init_loop(scfg, state.u_warm, mu0=mu0, reg0=reg0)
@@ -123,7 +124,8 @@ def make_stream_fn(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
     def commit_lane(state, path, w, x, pref1, ls, ctx):
         u_opt, stats = solver_mod.finish(cfg, coeffs, ctx.params, limits, ls)
         new_state, out = engine.postsolve(cfg, scfg, coeffs, state, path,
-                                          ctx.params, u_opt, stats)
+                                          ctx.params, u_opt, stats,
+                                          limits=limits)
         state2, ctx2, ls2 = presolve_lane(new_state, path, w, x, pref1)
         return (state2, ctx2, ls2, out.success, stats.viol, stats.iters,
                 new_state.phi, new_state.dphi, out.error_count,

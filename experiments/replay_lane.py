@@ -44,9 +44,7 @@ def main():
 
     # Rebuild the fleet inputs and graft the dumped state in.
     states0, paths, weights, x_phi_d = _build_batch(args.B, cfg)
-    data = np.load(args.state)
-    leaves = [jnp.asarray(data[f"s{i}"]) for i in range(len(data.files))]
-    states = jax.tree.unflatten(jax.tree.structure(states0), leaves)
+    states = engine.load_state_dump(states0, np.load(args.state))
 
     take = lambda tree: jax.tree.map(lambda a: np.asarray(a)[args.lane], tree)
     st_l = take(states)

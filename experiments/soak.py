@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--executor", default="stream",
                     choices=["stream", "tick"])
     ap.add_argument("--max-iters", type=int, default=None)
+    ap.add_argument("--margin", type=float, default=None)
+    ap.add_argument("--rho-restore", type=float, default=None)
+    ap.add_argument("--no-warm-probe", action="store_true")
+    ap.add_argument("--no-exec-compare", action="store_true")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dump-worst", default=None,
@@ -50,6 +54,9 @@ def main():
                          "(rounded down to a chunk boundary) — replay_lane /"
                          " regression-fixture material")
     ap.add_argument("--dump-state", default="/tmp/soak_state.npz")
+    ap.add_argument("--dump-each-chunk", default=None,
+                    help="directory: dump the EngineState batch at EVERY "
+                         "chunk boundary as state_t{N}.npz (forensics)")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +72,14 @@ def main():
     scfg = solver_mod.RUNTIME_F32
     if args.max_iters:
         scfg = scfg._replace(max_iters=args.max_iters)
+    if args.margin is not None:
+        scfg = scfg._replace(margin=args.margin)
+    if args.rho_restore is not None:
+        scfg = scfg._replace(rho_restore=args.rho_restore)
+    if args.no_warm_probe:
+        scfg = scfg._replace(warm_probe=False)
+    if args.no_exec_compare:
+        scfg = scfg._replace(exec_compare=False)
     B, K = args.B, args.chunk
     n_chunks = (args.ticks + K - 1) // K
 
@@ -102,16 +117,23 @@ def main():
     prev_dead = np.asarray(states.dead)
     n_loop_total = 0
     wall0 = time.perf_counter()
+    if args.dump_each_chunk:
+        os.makedirs(args.dump_each_chunk, exist_ok=True)
+
+    def dump_states(path_npz):
+        leaves = jax.tree.leaves(states)
+        np.savez_compressed(path_npz, **{f"s{i}": np.asarray(l)
+                                         for i, l in enumerate(leaves)})
+
     for ci in range(n_chunks):
         if args.dump_state_at is not None and ci * K <= args.dump_state_at \
                 < (ci + 1) * K:
-            import jax as _jax
-            leaves = _jax.tree.leaves(states)
-            np.savez_compressed(args.dump_state,
-                                **{f"s{i}": np.asarray(l)
-                                   for i, l in enumerate(leaves)})
+            dump_states(args.dump_state)
             log(f"dumped pre-chunk EngineState (tick {ci * K}) -> "
                 f"{args.dump_state}")
+        if args.dump_each_chunk:
+            dump_states(os.path.join(args.dump_each_chunk,
+                                     f"state_t{ci * K}.npz"))
         tc = time.perf_counter()
         states, (succ, viol, iters, dead, phi, n_loop) = step_chunk(states)
         jax.block_until_ready(states.phi)
@@ -171,7 +193,10 @@ def main():
     passed = (success_rate >= 0.999 and n_dead == 0 and max_viol < 1e-3)
     print(json.dumps({
         "soak": {"B": B, "ticks": int(succ_all.shape[0]),
-                 "executor": args.executor, "max_iters": scfg.max_iters},
+                 "executor": args.executor, "max_iters": scfg.max_iters,
+                 "margin": scfg.margin, "rho_restore": scfg.rho_restore,
+                 "warm_probe": scfg.warm_probe,
+                 "exec_compare": scfg.exec_compare},
         "success_rate": round(success_rate, 5),
         "max_viol": max_viol,
         "n_dead": n_dead,

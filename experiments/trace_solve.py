@@ -44,9 +44,7 @@ def main():
     dtype = jnp.float64 if args.f64 else jnp.float32
 
     states0, paths, weights, x_phi_d = _build_batch(args.B, cfg)
-    data = np.load(args.state)
-    leaves = [jnp.asarray(data[f"s{i}"]) for i in range(len(data.files))]
-    states = jax.tree.unflatten(jax.tree.structure(states0), leaves)
+    states = engine.load_state_dump(states0, np.load(args.state))
 
     cast = lambda tree: jax.tree.map(
         lambda a: jnp.asarray(np.asarray(a), dtype)
