@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from . import jerkint, kinematics, lie, ocp, solver as solver_mod
 from .bounds import segment_bound_coeffs
-from .path import PathData, Window, advance_sector, window
+from .path import PathData, Window, advance_sector, locate_sector, window
 
 
 class EngineState(NamedTuple):
@@ -304,10 +304,26 @@ def presolve(cfg, scfg, state, path, weights, x_phi_d, coeffs=None,
     ``coeffs``/``limits`` enable the warm-start infeasibility probe below
     (None falls back to flag-based shock detection only)."""
     # Window slide on segment crossing (ReferencePath.update :190-212,
-    # called from get_parameters at the start of BoundMPC.step :310)
-    sector = advance_sector(path, state.sector, state.phi)
+    # called from get_parameters at the start of BoundMPC.step :310).
+    # Direction-free: the window FOLLOWS the plant backward too — damage-
+    # control recovery legitimately retreats phi, and a retreat across a
+    # switching point must re-window or the lane evaluates stale geometry
+    # forever (path.locate_sector).  On a retreat-crossing the rotation
+    # reference is re-anchored exactly from the path data (the closed form
+    # replan_state uses); forward crossings keep the reference's
+    # incremental advance semantics (postsolve).
+    sector = locate_sector(path, state.phi)
     crossed_window = sector != state.sector
-    state = state._replace(sector=sector)
+    retreated = sector < state.sector
+    pr_re = lie.integrate_rotation_reference(
+        path.via_rotvec[sector], path.seg_dr[sector],
+        path.phi_start[sector], state.phi)
+    iw_re = (path.seg_iw[sector]
+             + (state.phi - path.phi_start[sector]) * path.seg_dr[sector])
+    state = state._replace(
+        sector=sector,
+        pr_ref=jnp.where(retreated, pr_re, state.pr_ref),
+        iw_ref=jnp.where(retreated, iw_re, state.iw_ref))
 
     params = assemble_params(cfg, state, path, weights, x_phi_d)
 
@@ -441,7 +457,15 @@ def postsolve(cfg, scfg, coeffs, state, path, params, u_opt, stats,
         c_safe = ocp.full_constraints(cfg, params, ev_safe, state.u_safe,
                                       limits)
         viol_safe = jnp.sum(jnp.where(c_safe > 1e-6, c_safe, 0.0))
-        acceptable = acceptable | (stats.viol <= viol_safe)
+        # The comparison is capped at O(1) violation: a "less-violating"
+        # plan at viol 50+ still actively steers the plant into divergence
+        # (measured, r5 soak lane 62: viol-compared fresh plans at 50-300
+        # drove the spiral the fallback's bounded badness + dead-freeze
+        # would have contained).  Past the cap the lane executes the stale
+        # plan and, failing that, freezes — the reference's own endgame
+        # (BoundMPC.py:498-506).
+        acceptable = acceptable | ((stats.viol <= viol_safe)
+                                   & (stats.viol < 1.0))
     use_opt = success | (~state.has_prev) | acceptable
     u_used = jnp.where(use_opt, u_opt, state.u_safe)
     # Failure ladder with a RECOVERY-PROGRESS hold: the counter increments

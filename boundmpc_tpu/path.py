@@ -256,17 +256,29 @@ def build_path(
     )
 
 
-def advance_sector(path: PathData, sector: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
-    """Branchless equivalent of the reference's while-loop sector advance
-    (ReferencePath.update, :190-212): the new sector is the number of
-    switching points strictly below phi, clamped to the real segments and
-    never decreasing."""
-    counts = jnp.sum(
+def locate_sector(path: PathData, phi: jnp.ndarray) -> jnp.ndarray:
+    """Sector containing ``phi``: the number of switching points strictly
+    below it, clamped to the real segments.  Direction-free — the engine
+    uses this so the window FOLLOWS the plant even when damage-control
+    retreat drives phi backward across a switching point (the reference's
+    window only ever slides forward, ReferencePath.update :190-212, because
+    its single robot never retreats; a fleet lane recovering from a bound
+    violation legitimately does, and evaluating a stale forward window at a
+    retreated phi wedges the lane — measured r5 soak, lane 62: phi driven
+    3.1 -> 0.01 against a sector-2 window, permanent failure)."""
+    return jnp.sum(
         (phi > path.phi_start[1:-1])
         & (jnp.arange(path.phi_start.shape[0] - 2) < path.n_real - 1),
         axis=-1,
     ).astype(jnp.int32)
-    return jnp.maximum(sector, counts)
+
+
+def advance_sector(path: PathData, sector: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
+    """Branchless equivalent of the reference's while-loop sector advance
+    (ReferencePath.update, :190-212): the new sector is the number of
+    switching points strictly below phi, clamped to the real segments and
+    never decreasing (see `locate_sector` for the direction-free variant)."""
+    return jnp.maximum(sector, locate_sector(path, phi))
 
 
 def window(path: PathData, sector: jnp.ndarray, nr_segs: int) -> Window:

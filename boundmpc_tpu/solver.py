@@ -219,7 +219,16 @@ RUNTIME_F32 = SolverConfig(max_iters=128, delta=1e-7, reg=1e-6,
                            tol_step=1e-5,
                            scale_constraints=True, method="qr", jac="ad",
                            n_ls=8, stall_iters=2, margin=0.05,
-                           rho_restore=1e-3, warm_probe=True,
+                           # Restoration OFF in the fleet preset: measured
+                           # head-to-head on the 120-tick B=256 from-rest
+                           # soak, rho_restore=1e-3 gave 0.99642 success
+                           # with 1 dead lane (its restoration solves drove
+                           # a divergence plain damage-control contains)
+                           # vs 0.99684 / 0 dead without.  Restoration
+                           # remains the recovery mechanism for externally-
+                           # inherited trapped states (RESTORE_F32,
+                           # tests/test_deep_region.py).
+                           rho_restore=0.0, warm_probe=True,
                            exec_compare=True,
                            # Warm ticks resume AT the final barrier weight:
                            # the previous optimum already sits on the mu_min
@@ -228,6 +237,15 @@ RUNTIME_F32 = SolverConfig(max_iters=128, delta=1e-7, reg=1e-6,
                            # the stagnation exit this is what lets warm lanes
                            # converge in ~3 iterations instead of 40.
                            mu_warm=1e-6)
+
+
+# RUNTIME_F32 with the two-phase feasibility-restoration mode enabled: the
+# config for re-starting fleets from EXTERNALLY INHERITED states (foreign
+# checkpoints, mid-episode captures) — restoration resurrects barrier-trapped
+# lanes that plain damage-control cannot (measured: the tests/data fixture's
+# bound-crossing lane recovers in 2 ticks vs death), at a small from-rest
+# fleet cost (see the RUNTIME_F32 comment).
+RESTORE_F32 = RUNTIME_F32._replace(rho_restore=1e-3)
 
 
 class SolveStats(NamedTuple):
@@ -620,10 +638,20 @@ def make_stepper(cfg: ocp.OcpConfig, scfg: SolverConfig,
             stagnant_any = (~improved) | (rel_dec < scfg.tol_merit)
         in_restore = (rho < 1.0) if restoring else jnp.asarray(False)
         if restoring:
-            # An INFEASIBLE small-step exit in barrier mode would hand back
-            # a trapped iterate restoration could still fix — require
-            # feasibility (or restoration mode) for every done path.
-            done = done & (feas | in_restore)
+            # A DEEPLY-infeasible small-step exit in barrier mode would hand
+            # back a trapped iterate restoration could still fix — require
+            # feasibility (or restoration mode) for that done path.
+            # SHALLOW infeasibility (below the restoration trigger — margin-
+            # buffer dwelling, true bounds typically satisfied) is exempt
+            # from the block ONLY on the |du| < tol_step path — the damped
+            # Newton step being below tolerance means the lane literally
+            # cannot move, and restoration will never engage there, so
+            # blocking that exit only burns the remaining budget.  (Merit
+            # stagnation is NOT exempted: a stagnant-but-mobile shallow lane
+            # measurably resolves with more iterations — exiting it early
+            # cost a mixed-fleet lane-tick at true viol 4e-3.)
+            shallow_now = sviol_now < scfg.restore_trigger_viol
+            done = done & (feas | in_restore | shallow_now)
         # Stagnation convergence: at final mu and for stall_iters
         # consecutive iterations either (barrier mode, FEASIBLE) no
         # meaningful merit decrease (SolverConfig.tol_merit) — converged —

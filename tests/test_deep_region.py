@@ -46,8 +46,14 @@ LANES = [129, 74, 16, 23, 217, 131, 216, 239, 0, 1, 2, 3, 50, 100, 150, 200]
 @pytest.mark.slow
 def test_bound_riding_fleet_recovers():
     cfg = ocp.OcpConfig()
-    scfg = solver_mod.RUNTIME_F32
+    # RESTORE_F32 = the production preset + the two-phase feasibility-
+    # restoration mode — the documented config for resuming from inherited
+    # mid-episode states like this fixture (the from-rest preset keeps
+    # restoration off; its no-spiral contract is pinned by the 120-tick
+    # soak gate, experiments/soak.py, which a fixture replay cannot cover).
+    scfg = solver_mod.RESTORE_F32
     assert scfg.margin > 0, "production preset must carry the margin fix"
+    assert scfg.rho_restore > 0
 
     from boundmpc_tpu import engine
     states0, paths, weights, x_phi_d = _build_batch(256, cfg)
