@@ -359,7 +359,7 @@ def presolve(cfg, scfg, state, path, weights, x_phi_d, coeffs=None,
                                    scaled=scfg.scale_constraints,
                                    margin=scfg.margin)
         warm_viol = jnp.sum(jnp.where(c_w > 1e-6, c_w, 0.0))
-        shock = shock | (warm_viol > 1e-3)
+        shock = shock | (warm_viol > scfg.probe_viol)
     # Deep-failure COLD RESTART (the bench-postmortem death-spiral fix): two
     # consecutive failures mean the warm CHAIN is poisoned — the fresh
     # solves diverged, so every further mu_shift restart re-solves from

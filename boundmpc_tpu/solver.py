@@ -178,6 +178,20 @@ class SolverConfig(NamedTuple):
     # semantics).
     rho_restore: float = 0.0
     restore_patience: int = 8
+    # Progress-gated soft budget (0 disables).  Past ``soft_iters``
+    # iterations, an INFEASIBLE barrier-mode lane keeps iterating only
+    # while its violation is improving (>2% decrease resets the streak);
+    # 6 consecutive non-improving iterations end the solve with the
+    # current iterate.  Rationale: raising max_iters to 256 fixed the
+    # starved hard ticks (worst soak violation 3.4 -> 0.086) but let
+    # PLATEAUED lanes — whose solve converges at no budget — burn the full
+    # cap every tick, and the fused stream loop runs as long as its
+    # slowest lane: measured 4.6x wall-time regression at B=512.  A
+    # genuinely-progressing hard tick (the measured 46-120-iteration
+    # shocks cut viol >2%/iteration) is never interrupted; a plateau
+    # exits by ~soft_iters+6 — the watchdog role of Ipopt's
+    # max-iteration heuristics.
+    soft_iters: int = 0
     # Restoration engages only for DEEP infeasibility (scaled viol above
     # this), not for margin-buffer erosion: a lane riding the margined
     # orientation bound flickers margined-infeasible at sviol ~1e-4..1e-3
@@ -192,6 +206,13 @@ class SolverConfig(NamedTuple):
     # when no window slide / failure flag fired (the mid-segment
     # re-linearization jump case).  See the presolve comment.
     warm_probe: bool = False
+    # Probe trigger (margined scaled units): below it the lane keeps the
+    # cheap mu_warm resume.  Margin-buffer flicker of bound-riding shifted
+    # plans reads ~1e-3..1e-2, and shocking those onto the full mu walk
+    # (~11 accepted iterations) for no correctness gain was a measured
+    # ~25% mean-iteration inflation; genuine re-linearization jumps read
+    # 1e-1+.
+    probe_viol: float = 1e-2
     # Fresh-vs-stale execution comparison (engine.postsolve): a failing
     # solve's plan executes when it violates no more than the safe fallback
     # evaluated under today's parameters.  See the postsolve comment.
@@ -202,11 +223,13 @@ class SolverConfig(NamedTuple):
 # method measured convergent on-chip in closed loop (experiments/debug_f32.py:
 # B=16 and B=256, success 1.0, viol <= 1e-4); scale_constraints homogenizes
 # the squared bound rows so the f32 barrier stays conditioned in corridor
-# scenarios.  max_iters=128: the reference Ipopt iteration scale is ~40
-# (Plotter.py:442), and 40 was the r2-r4 budget — but deep-region shock
-# ticks need 46-120 iterations (r4 diagnosis, confirmed by the r5 soaks:
-# every failure streak starts with iters pinned at the cap), and under the
-# stream executor extra iterations cost only the straggler lane's own time.
+# scenarios.  max_iters=256: the reference Ipopt budget is 500 with a ~40
+# typical scale (BoundMPC.py:131, Plotter.py:442); 40 was the r2-r4 budget —
+# but deep-region shock ticks need 46-120+ iterations (r4 diagnosis,
+# confirmed by the r5 soaks: every failure streak starts with iters pinned
+# at the cap), and under the stream executor extra iterations cost only the
+# straggler lane's own time.  Measured on the 120-tick B=256 soak: 256 vs
+# 128 cuts the worst live-lane violation 3.4 -> 0.086 for ~30% wall.
 # The while_loop exits early once every scenario in the batch converges
 # (mean warm tick: ~3-9 iterations).
 # jac="ad" (one fused 80-tangent jacfwd) and the shorter 8-candidate line
@@ -215,7 +238,7 @@ class SolverConfig(NamedTuple):
 # margin=0.05 tightens the solver-view nonlinear bounds 5% so executed
 # plans keep clearance absorbing the per-tick re-linearization jump — the
 # measured deep-region death mechanism (see SolverConfig.margin).
-RUNTIME_F32 = SolverConfig(max_iters=128, delta=1e-7, reg=1e-6,
+RUNTIME_F32 = SolverConfig(max_iters=256, delta=1e-7, reg=1e-6,
                            tol_step=1e-5,
                            scale_constraints=True, method="qr", jac="ad",
                            n_ls=8, stall_iters=2, margin=0.05,
@@ -229,7 +252,7 @@ RUNTIME_F32 = SolverConfig(max_iters=128, delta=1e-7, reg=1e-6,
                            # inherited trapped states (RESTORE_F32,
                            # tests/test_deep_region.py).
                            rho_restore=0.0, warm_probe=True,
-                           exec_compare=True,
+                           exec_compare=True, soft_iters=64,
                            # Warm ticks resume AT the final barrier weight:
                            # the previous optimum already sits on the mu_min
                            # central path, so walking 1e-4 -> 1e-6 again
@@ -626,7 +649,7 @@ def make_stepper(cfg: ocp.OcpConfig, scfg: SolverConfig,
             (du_inf < scfg.tol_step) | (improved & (step_inf < scfg.tol_step))
         )
         restoring = scfg.rho_restore > 0
-        if scfg.stall_iters > 0 or restoring:
+        if scfg.stall_iters > 0 or restoring or scfg.soft_iters > 0:
             # Same per-row 1e-6 slack as the engine's success metric —
             # without it, ACTIVE constraints sitting exactly on their bound
             # (c ~ +f32 noise, amplified by the 1/bound^2 row scaling) keep
@@ -728,9 +751,22 @@ def make_stepper(cfg: ocp.OcpConfig, scfg: SolverConfig,
             fstall_new = jnp.where(flip, 0, fstall_new)
             done = done & ~enter
         else:
-            fstall_new = st.fstall
             rho_new = rho
-        sviol_keep = (sviol_now if scfg.stall_iters > 0 or restoring
+            if scfg.soft_iters > 0:
+                # Progress-gated soft budget (SolverConfig.soft_iters):
+                # fstall counts consecutive non-improving infeasible
+                # iterations (the field is otherwise unused when
+                # restoration is off).
+                noprog = sviol_now > 0.98 * st.sviol
+                fstall_new = jnp.where(at_final_mu & ~feas & noprog,
+                                       st.fstall + 1, 0)
+                done = done | ((st.k >= scfg.soft_iters)
+                               & (fstall_new >= 6))
+            else:
+                fstall_new = st.fstall
+        sviol_keep = (sviol_now
+                      if scfg.stall_iters > 0 or restoring
+                      or scfg.soft_iters > 0
                       else st.sviol)
         return LoopState(u_new, mu_new, reg_new, st.k + 1, done, step_inf,
                          stall_new, rej_new, rho_new, fstall_new, sviol_keep)
