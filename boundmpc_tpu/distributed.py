@@ -126,29 +126,41 @@ class ShardedEngine:
 
         fn = stream_mod.make_stream_fn(self.cfg, self.scfg, n_ticks,
                                        dtype=self.dtype)
-        metric_keys = ("n_success", "n_live", "n_dead", "total_iters",
-                       "max_viol", "mean_phi", "n_loop")
 
         def shard_stream(states, paths, weights, x_phi_d, pref):
             # Each device runs its OWN fused async while_loop over its local
-            # lanes: a slow lane on one chip never stalls another chip —
-            # the only cross-device traffic is the final metric reduction.
+            # lanes: a slow lane on one chip never stalls another chip.
+            # NO collective lives in this program — per-device trip counts
+            # differ WILDLY by design (that is the executor's point), and a
+            # trailing all-reduce here makes early-finishing devices sit in
+            # a collective rendezvous for the duration of the slowest
+            # device's loop (the XLA CPU runtime aborts after 40 s; on TPU
+            # it would serialize the mesh on the stragglers).  Metric
+            # reduction runs as a separate short program (shard_metrics)
+            # whose rendezvous skew is dispatch jitter, not loop skew.
             new_states, out = fn(states, paths, weights, x_phi_d, pref)
+            # Per-device scalar loop count -> length-1 shard so it crosses
+            # the shard_map boundary as a (n_devices,) global array.
+            return new_states, out._replace(n_loop=out.n_loop[None])
+
+        metric_keys = ("n_success", "n_live", "n_dead", "total_iters",
+                       "max_viol", "mean_phi", "n_loop")
+
+        def shard_metrics(dead_in, new_states, out):
             # Live mask matches FleetRunner.run_stream: out.dead is
             # dead-AFTER-tick, so shift by one tick (pre-call dead for tick
-            # 0) — the death tick's row, typically the violation that killed
-            # the lane, stays counted; later ticks of a dead lane are a
-            # stopped robot.
-            live = ~jnp.concatenate([states.dead[None], out.dead[:-1]],
-                                    axis=0)
-            metrics = {
+            # 0) — the death tick's row, typically the violation that
+            # killed the lane, stays counted; later ticks of a dead lane
+            # are a stopped robot.
+            live = ~jnp.concatenate([dead_in[None], out.dead[:-1]], axis=0)
+            return {
                 "n_success": jax.lax.psum(
                     jnp.sum((out.success & live).astype(jnp.int32)),
                     "scenario"),
                 # Live lane-tick count: the success_rate denominator under
-                # the FleetStats contract (success_rate = n_success/n_live —
-                # dead lanes always record success=False and must not drag
-                # the rate).
+                # the FleetStats contract (success_rate = n_success/n_live
+                # — dead lanes always record success=False and must not
+                # drag the rate).
                 "n_live": jax.lax.psum(
                     jnp.sum(live.astype(jnp.int32)), "scenario"),
                 "n_dead": jax.lax.psum(
@@ -158,38 +170,52 @@ class ShardedEngine:
                     jnp.max(jnp.where(live, out.viol, 0.0)), "scenario"),
                 "mean_phi": jax.lax.pmean(jnp.mean(new_states.phi),
                                           "scenario"),
-                # Per-device loop trip counts DIFFER (that is the point);
-                # report the ICI-summed total as the executed-work unit.
-                "n_loop": jax.lax.psum(out.n_loop, "scenario"),
+                # Per-device loop trip counts DIFFER; report the ICI-summed
+                # total as the executed-work unit (out.n_loop arrives as
+                # this device's length-1 shard).
+                "n_loop": jax.lax.psum(jnp.sum(out.n_loop), "scenario"),
             }
-            out = out._replace(n_loop=metrics["n_loop"])
-            return new_states, out, metrics
 
         out_stream_spec = stream_mod.StreamOut(
             success=P(None, "scenario"), viol=P(None, "scenario"),
             iters=P(None, "scenario"), phi=P(None, "scenario"),
             dphi=P(None, "scenario"), error_count=P(None, "scenario"),
-            dead=P(None, "scenario"), n_loop=P())
+            dead=P(None, "scenario"), n_loop=P("scenario"))
         sharded = jax.shard_map(
             shard_stream,
             mesh=self.mesh,
             in_specs=(P("scenario"),) * 5,
-            out_specs=(P("scenario"), out_stream_spec,
-                       {k: P() for k in metric_keys}),
+            out_specs=(P("scenario"), out_stream_spec),
             check_vma=False,
         )
-        jitted = jax.jit(sharded, donate_argnums=(0,))
-        self._stream_fns[n_ticks] = jitted
-        return jitted
+        metrics_fn = jax.shard_map(
+            shard_metrics,
+            mesh=self.mesh,
+            in_specs=(P("scenario"), P("scenario"), out_stream_spec),
+            out_specs={k: P() for k in metric_keys},
+            check_vma=False,
+        )
+        pair = (jax.jit(sharded, donate_argnums=(0,)), jax.jit(metrics_fn))
+        self._stream_fns[n_ticks] = pair
+        return pair
 
     def stream(self, states, paths, weights, x_phi_d, pref, n_ticks: int):
         """Run ``n_ticks`` control periods through the async stream executor
         (stream.py) sharded over the scenario mesh.  Returns
         (states', StreamOut, metrics) — StreamOut series are time-major
         (K, B) like the single-mesh executor; metrics are ICI-reduced fleet
-        aggregates."""
-        return self._get_stream(n_ticks)(states, paths, weights, x_phi_d,
-                                         pref)
+        aggregates computed in a follow-up short program (see shard_stream
+        for why the reduction must not ride inside the skewed loops).
+        StreamOut.n_loop is per-device sharded in the raw output; the
+        metrics dict carries the global sum."""
+        run_fn, metrics_fn = self._get_stream(n_ticks)
+        # Copy: `states` is donated to run_fn; the pre-call dead flags are
+        # needed afterwards for the live-mask metric.
+        dead_in = jnp.array(states.dead)
+        new_states, out = run_fn(states, paths, weights, x_phi_d, pref)
+        metrics = metrics_fn(dead_in, new_states, out)
+        out = out._replace(n_loop=metrics["n_loop"])
+        return new_states, out, metrics
 
 
 def make_train_step_like(cfg: ocp.OcpConfig, scfg: solver_mod.SolverConfig,
