@@ -305,25 +305,33 @@ def presolve(cfg, scfg, state, path, weights, x_phi_d, coeffs=None,
     (None falls back to flag-based shock detection only)."""
     # Window slide on segment crossing (ReferencePath.update :190-212,
     # called from get_parameters at the start of BoundMPC.step :310).
-    # Direction-free: the window FOLLOWS the plant backward too — damage-
-    # control recovery legitimately retreats phi, and a retreat across a
-    # switching point must re-window or the lane evaluates stale geometry
-    # forever (path.locate_sector).  On a retreat-crossing the rotation
-    # reference is re-anchored exactly from the path data (the closed form
-    # replan_state uses); forward crossings keep the reference's
-    # incremental advance semantics (postsolve).
-    sector = locate_sector(path, state.phi)
-    crossed_window = sector != state.sector
-    retreated = sector < state.sector
-    pr_re = lie.integrate_rotation_reference(
-        path.via_rotvec[sector], path.seg_dr[sector],
-        path.phi_start[sector], state.phi)
-    iw_re = (path.seg_iw[sector]
-             + (state.phi - path.phi_start[sector]) * path.seg_dr[sector])
-    state = state._replace(
-        sector=sector,
-        pr_ref=jnp.where(retreated, pr_re, state.pr_ref),
-        iw_ref=jnp.where(retreated, iw_re, state.iw_ref))
+    # With scfg.bidir_window the window FOLLOWS the plant backward too —
+    # damage-control recovery legitimately retreats phi, and a retreat
+    # across a switching point must re-window or the lane evaluates stale
+    # geometry forever (path.locate_sector).  On a retreat-crossing the
+    # rotation reference is re-anchored exactly from the path data (the
+    # closed form replan_state uses); forward crossings keep the
+    # reference's incremental advance semantics (postsolve).  Without the
+    # flag the window is forward-only, matching the reference exactly (the
+    # f64 parity configuration).
+    if scfg.bidir_window:
+        sector = locate_sector(path, state.phi)
+        retreated = sector < state.sector
+        pr_re = lie.integrate_rotation_reference(
+            path.via_rotvec[sector], path.seg_dr[sector],
+            path.phi_start[sector], state.phi)
+        iw_re = (path.seg_iw[sector]
+                 + (state.phi - path.phi_start[sector])
+                 * path.seg_dr[sector])
+        crossed_window = sector != state.sector
+        state = state._replace(
+            sector=sector,
+            pr_ref=jnp.where(retreated, pr_re, state.pr_ref),
+            iw_ref=jnp.where(retreated, iw_re, state.iw_ref))
+    else:
+        sector = advance_sector(path, state.sector, state.phi)
+        crossed_window = sector != state.sector
+        state = state._replace(sector=sector)
 
     params = assemble_params(cfg, state, path, weights, x_phi_d)
 
@@ -477,7 +485,8 @@ def postsolve(cfg, scfg, coeffs, state, path, params, u_opt, stats,
     # (the reference's N-consecutive-failures stop, BoundMPC.py:498-506,
     # guards a single robot; the vectorized analog guards fleet metrics
     # from divergence, not from recovery).
-    improving = stats.viol < 0.5 * state.viol_prev
+    improving = ((stats.viol < 0.5 * state.viol_prev)
+                 if scfg.ladder_hold else jnp.asarray(False))
     error_count = jnp.where(
         success, 0,
         jnp.where(improving, state.error_count, state.error_count + 1))

@@ -217,6 +217,23 @@ class SolverConfig(NamedTuple):
     # solve's plan executes when it violates no more than the safe fallback
     # evaluated under today's parameters.  See the postsolve comment.
     exec_compare: bool = False
+    # Recovery-progress hold on the failure ladder (engine.postsolve): a
+    # failing tick whose violation dropped below half the previous tick's
+    # does not increment the death counter.  Off by default — the reference
+    # increments on EVERY failure (BoundMPC.py:467-496) and the f64 parity
+    # path keeps those semantics (enabling it measurably shifts exp2's
+    # corridor fallback sequencing by ~1 mm); on in RUNTIME_F32 where
+    # multi-tick damage-control recovery must outlive the ladder.
+    ladder_hold: bool = False
+    # Direction-free segment windowing (engine.presolve /
+    # path.locate_sector): the window follows the plant BACKWARD across
+    # switching points during damage-control retreat, with exact rotation-
+    # reference re-anchoring.  Off by default — the reference's window only
+    # slides forward (ReferencePath.update :190-212) and the f64 parity
+    # path keeps those semantics; on in RUNTIME_F32 where a retreating lane
+    # evaluating a stale forward window wedged into permanent failure
+    # (r5 soak, lane 62).
+    bidir_window: bool = False
 
 
 # Preset for the float32 TPU runtime path.  method="qr" is the only step
@@ -253,6 +270,7 @@ RUNTIME_F32 = SolverConfig(max_iters=256, delta=1e-7, reg=1e-6,
                            # tests/test_deep_region.py).
                            rho_restore=0.0, warm_probe=True,
                            exec_compare=True, soft_iters=64,
+                           ladder_hold=True, bidir_window=True,
                            # Warm ticks resume AT the final barrier weight:
                            # the previous optimum already sits on the mu_min
                            # central path, so walking 1e-4 -> 1e-6 again
