@@ -190,6 +190,22 @@ def main():
             phi=phi_all[:, lanes])
         log(f"dumped worst-lane series -> {args.dump_worst}")
 
+    # Failure census: what the residual failing lane-ticks look like.
+    fail_mask = (~succ_all) & live_all
+    fv = viol_all[fail_mask]
+    buckets = [0, 1e-4, 1e-3, 1e-2, 1e-1, 1.0, np.inf]
+    hist = {f"[{buckets[i]:g},{buckets[i+1]:g})":
+            int(((fv >= buckets[i]) & (fv < buckets[i + 1])).sum())
+            for i in range(len(buckets) - 1)}
+    lanes_failing = int((fail_mask.any(axis=0)).sum())
+    # Episodes: maximal runs of consecutive failing ticks per lane.
+    n_episodes = int(sum(
+        (np.diff(np.concatenate([[False], fail_mask[:, j], [False]])
+                 .astype(np.int8)) == 1).sum()
+        for j in range(fail_mask.shape[1])))
+    log(f"failure census: {int(fail_mask.sum())} failing lane-ticks on "
+        f"{lanes_failing} lanes in {n_episodes} episodes; viol hist {hist}")
+
     passed = (success_rate >= 0.999 and n_dead == 0 and max_viol < 1e-3)
     print(json.dumps({
         "soak": {"B": B, "ticks": int(succ_all.shape[0]),
@@ -205,6 +221,9 @@ def main():
         "p99_iters": float(np.percentile(iters_all, 99)),
         "mean_phi_final": round(float(phi_all[-1].mean()), 3),
         "worst_lanes": worst_lanes,
+        "failure_census": {"lane_ticks": int(fail_mask.sum()),
+                           "lanes": lanes_failing,
+                           "episodes": n_episodes, "viol_hist": hist},
         "passed": passed,
     }))
     sys.exit(0 if passed else 1)
